@@ -1,0 +1,196 @@
+"""Scene data model: flat SoA arrays + differentiable material pytree.
+
+The reference keeps its scene as C++ structs — AoS triangle/material arrays
+and a pointer-linked BVH node tree uploaded with cudaMemcpy (SURVEY.md §1.2
+L1, §2.1 R6/R8). A TPU-native design instead stores everything as flat
+structure-of-arrays so XLA can lay tensors out contiguously, gathers are
+vectorized, and the whole scene is a single pytree that `device_put`s once
+and shards/replicates with `jax.sharding` (SURVEY.md §1.3 T1).
+
+Three pytrees:
+
+* :class:`Geometry` — triangles (SoA: v0/e1/e2, geometric normal, material
+  id), analytic spheres, and the flattened BVH (see accel/build.py for the
+  layout). Never differentiated: the renderer detaches it (SURVEY.md §7
+  hard part 3).
+* :class:`Materials` — per-material albedo and emission. This is THE
+  differentiable parameter pytree (BASELINE.json:5 "reverse-mode gradients
+  of pixel radiance w.r.t. material albedo/emission").
+* :class:`Camera` — pinhole camera.
+
+`Scene` bundles them with the emissive-triangle light table used by
+next-event estimation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+
+def _pytree_dataclass(cls):
+    """Register a frozen dataclass whose every field is a pytree leaf."""
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_pytree_dataclass
+class Geometry:
+    """Static scene geometry as flat SoA arrays.
+
+    Triangle i is (v0[i], v0[i]+e1[i], v0[i]+e2[i]); storing edges directly
+    feeds Möller–Trumbore without re-deriving them per ray. `tri_n` is the
+    normalized geometric normal (cross(e1, e2) direction).
+
+    The BVH arrays use the stackless skip-link layout produced by
+    accel/build.py: depth-first node order where a box hit advances the
+    cursor to `i+1` (first child) and a miss jumps to `bvh_skip[i]`;
+    `bvh_count[i] > 0` marks a leaf owning triangles
+    `[bvh_first[i], bvh_first[i] + bvh_count[i])` (triangles are reordered
+    at build time so leaves are contiguous). `n_nodes` is the termination
+    sentinel. Empty (0-length) BVH arrays mean "no BVH" (brute force).
+    """
+
+    tri_v0: jax.Array  # (T, 3) f32
+    tri_e1: jax.Array  # (T, 3) f32
+    tri_e2: jax.Array  # (T, 3) f32
+    tri_n: jax.Array  # (T, 3) f32, unit geometric normal
+    tri_mat: jax.Array  # (T,) i32
+    sph_c: jax.Array  # (S, 3) f32 sphere centers
+    sph_r: jax.Array  # (S,) f32 radii
+    sph_mat: jax.Array  # (S,) i32
+    bvh_lo: jax.Array  # (N, 3) f32 AABB min
+    bvh_hi: jax.Array  # (N, 3) f32 AABB max
+    bvh_first: jax.Array  # (N,) i32 first-triangle (leaf) / unused (internal)
+    bvh_count: jax.Array  # (N,) i32 0 = internal, >0 = leaf triangle count
+    bvh_skip: jax.Array  # (N,) i32 next cursor on box miss / after leaf
+
+
+@_pytree_dataclass
+class Materials:
+    """Differentiable material parameters (the pytree jax.grad sees)."""
+
+    albedo: jax.Array  # (M, 3) f32 in [0, 1]
+    emission: jax.Array  # (M, 3) f32 radiance, >= 0
+
+
+@_pytree_dataclass
+class Camera:
+    """Pinhole camera. `fov_y` is the vertical field of view in radians."""
+
+    position: jax.Array  # (3,) f32
+    look_at: jax.Array  # (3,) f32
+    up: jax.Array  # (3,) f32
+    fov_y: jax.Array  # () f32
+
+
+@_pytree_dataclass
+class Lights:
+    """Emissive-triangle table for next-event estimation.
+
+    NEE samples a point uniformly by area over all emissive triangles:
+    `cdf` is the normalized cumulative area distribution over `tri_idx`,
+    and `total_area` converts the per-area pdf (1/total_area) into the
+    estimator weight (SURVEY.md §3.1 NEE step).
+    """
+
+    tri_idx: jax.Array  # (L,) i32 indices into Geometry triangles
+    cdf: jax.Array  # (L,) f32 normalized cumulative area
+    total_area: jax.Array  # () f32
+    background: jax.Array  # (3,) f32 environment radiance on ray miss
+
+
+@_pytree_dataclass
+class Scene:
+    geometry: Geometry
+    materials: Materials
+    camera: Camera
+    lights: Lights
+
+
+def make_geometry(
+    tri_verts: np.ndarray,
+    tri_mat: np.ndarray,
+    sph_c: np.ndarray | None = None,
+    sph_r: np.ndarray | None = None,
+    sph_mat: np.ndarray | None = None,
+) -> Geometry:
+    """Build a Geometry (without BVH) from a (T, 3, 3) vertex array."""
+    tri_verts = np.asarray(tri_verts, np.float32).reshape(-1, 3, 3)
+    v0 = tri_verts[:, 0]
+    e1 = tri_verts[:, 1] - v0
+    e2 = tri_verts[:, 2] - v0
+    n = np.cross(e1, e2)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / np.maximum(norm, 1e-20)
+    if sph_c is None:
+        sph_c = np.zeros((0, 3), np.float32)
+        sph_r = np.zeros((0,), np.float32)
+        sph_mat = np.zeros((0,), np.int32)
+    empty3 = np.zeros((0, 3), np.float32)
+    empty1i = np.zeros((0,), np.int32)
+    return Geometry(
+        tri_v0=v0.astype(np.float32),
+        tri_e1=e1.astype(np.float32),
+        tri_e2=e2.astype(np.float32),
+        tri_n=n.astype(np.float32),
+        tri_mat=np.asarray(tri_mat, np.int32),
+        sph_c=np.asarray(sph_c, np.float32).reshape(-1, 3),
+        sph_r=np.asarray(sph_r, np.float32).reshape(-1),
+        sph_mat=np.asarray(sph_mat, np.int32).reshape(-1),
+        bvh_lo=empty3,
+        bvh_hi=empty3,
+        bvh_first=empty1i,
+        bvh_count=empty1i,
+        bvh_skip=empty1i,
+    )
+
+
+def triangle_areas(geom: Geometry) -> np.ndarray:
+    e1 = np.asarray(geom.tri_e1)
+    e2 = np.asarray(geom.tri_e2)
+    return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+
+
+def make_lights(
+    geom: Geometry, materials: Materials, background=(0.0, 0.0, 0.0)
+) -> Lights:
+    """Derive the NEE light table from emissive materials."""
+    emission = np.asarray(materials.emission)
+    tri_mat = np.asarray(geom.tri_mat)
+    emissive = emission.sum(-1) > 0.0
+    mask = emissive[tri_mat]
+    idx = np.nonzero(mask)[0].astype(np.int32)
+    if idx.size == 0:
+        return Lights(
+            tri_idx=np.zeros((0,), np.int32),
+            cdf=np.zeros((0,), np.float32),
+            total_area=np.float32(0.0),
+            background=np.asarray(background, np.float32),
+        )
+    areas = triangle_areas(geom)[idx]
+    total = float(areas.sum())
+    cdf = np.cumsum(areas / total).astype(np.float32)
+    cdf[-1] = 1.0
+    return Lights(
+        tri_idx=idx,
+        cdf=cdf,
+        total_area=np.float32(total),
+        background=np.asarray(background, np.float32),
+    )
+
+
+def scene_to_device(scene: Scene, sharding=None) -> Scene:
+    """device_put the whole scene pytree (replicated unless told otherwise).
+
+    Mirrors the reference's one-time cudaMemcpy upload of scene arrays
+    (SURVEY.md §3.2) — one host→device transfer, then every render reuses
+    the committed buffers.
+    """
+    if sharding is None:
+        return jax.device_put(scene)
+    return jax.device_put(scene, sharding)

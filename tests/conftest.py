@@ -1,0 +1,19 @@
+"""Test-suite environment: CPU backend with 8 virtual devices.
+
+Per SURVEY.md §4.5 (the standard JAX trick), all tests run on the CPU
+backend with `--xla_force_host_platform_device_count=8` so Mesh/shard_map/
+psum paths are exercised without TPU hardware. Threefry is bit-exact across
+backends, so CPU test renders equal TPU renders at the same seeds.
+
+This file must set the environment BEFORE jax is imported anywhere, which
+pytest guarantees by importing conftest first.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
