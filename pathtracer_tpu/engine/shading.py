@@ -1,0 +1,56 @@
+"""Diffuse shading + sampling (jnp mirror of the oracle; reference R4).
+
+Everything here is elementwise over the ray batch — XLA fuses the whole
+shade/sample stage into the surrounding bounce iteration, which is exactly
+the fusion the reference gets for free inside its megakernel
+(SURVEY.md §3.1) without the divergence cost.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def onb(n):
+    """Branchless Duff/Frisvad orthonormal basis; n: (R,3) unit normals."""
+    s = jnp.where(n[:, 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[:, 2])
+    b = n[:, 0] * n[:, 1] * a
+    t = jnp.stack(
+        [1.0 + s * n[:, 0] * n[:, 0] * a, s * b, -s * n[:, 0]], axis=-1
+    )
+    bt = jnp.stack([b, s + n[:, 1] * n[:, 1] * a, -n[:, 1]], axis=-1)
+    return t, bt
+
+
+def cosine_hemisphere(n, u1, u2):
+    """Cosine-weighted direction about unit normal n (pdf = cos/pi)."""
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
+    t, b = onb(n)
+    d = x[:, None] * t + y[:, None] * b + z[:, None] * n
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def sample_light(lights, geom, u_sel, u1, u2):
+    """Uniform-by-area point on emissive triangles (oracle _sample_light).
+
+    Returns (x_l, n_l, mat_l). Caller must only use this when the scene
+    has a non-empty light table (static shape check at trace time).
+    """
+    cdf = lights.cdf
+    idx = jnp.minimum(
+        jnp.searchsorted(cdf, u_sel, side="right"), cdf.shape[0] - 1
+    )
+    tri = lights.tri_idx[idx]
+    v0 = geom.tri_v0[tri]
+    e1 = geom.tri_e1[tri]
+    e2 = geom.tri_e2[tri]
+    su = jnp.sqrt(u1)
+    b1 = 1.0 - su
+    b2 = u2 * su
+    x_l = v0 + b1[:, None] * e1 + b2[:, None] * e2
+    return x_l, geom.tri_n[tri], geom.tri_mat[tri]

@@ -1,0 +1,226 @@
+"""The jit-compiled wavefront render loop — the TPU heart of the tracer.
+
+This replaces the reference's CUDA megakernel bounce loop in tracer.cu
+(SURVEY.md §3.1): instead of one divergent per-thread loop, the whole ray
+batch advances bounce-by-bounce in lockstep vectorized stages — intersect,
+shade, NEE shadow batch, sample, roulette — the wavefront formulation
+(PAPERS.md "Megakernel vs Wavefront GPU Path Tracing"; BASELINE.json:5
+"megakernel bounce loop → wavefront compaction"). Every stage is a fused
+XLA op over the batch; the bounce loop is unrolled at trace time (static
+max_depth), the spp loop is a `lax.fori_loop`, and there are NO host
+round-trips inside a render call (SURVEY.md §3.3).
+
+The semantics mirror oracle/tracer.py statement-for-statement; equality at
+fixed seeds is enforced by tests/oracle/test_engine.py.
+
+`trace_sample` is deliberately shardable: it takes explicit absolute
+pixel ids, and all randomness keys off those ids, so parallel/mesh.py can
+`shard_map` it over image tiles and reproduce the single-device image
+bit-for-bit.
+
+Differentiability contract (SURVEY.md §7 hard part 3): geometry outputs of
+intersection (t, normal) and the RR continuation probability are wrapped in
+`stop_gradient`; pixel radiance stays differentiable w.r.t. the material
+pytree (albedo/emission) through the multiplicative throughput chain and
+the NEE terms.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import RenderConfig
+from ..sampling import rng as rng_mod
+from ..scene.model import Scene
+from . import intersect as isect
+from .camera import camera_rays
+from .shading import cosine_hemisphere, sample_light
+
+
+def _intersector(geom, cfg: RenderConfig):
+    """Pick the closest-hit implementation for this scene/config."""
+    has_bvh = geom.bvh_lo.shape[0] > 0
+    if cfg.use_bvh and has_bvh:
+        if cfg.backend == "pallas":
+            from ..ops.traverse_pallas import closest_hit_pallas
+
+            def hit(g, o, d):
+                return closest_hit_pallas(g, o, d)
+
+            return hit
+        from ..accel.traverse import closest_hit
+
+        def hit(g, o, d):
+            return closest_hit(g, o, d)
+
+        return hit
+    return isect.brute
+
+
+def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
+                 pixel_ids, spp_idx, with_stats: bool = False):
+    """Trace one path per pixel id; returns (N, 3) radiance.
+
+    Mirrors oracle/tracer.py:render_sample. All inputs are arrays except
+    the static cfg; safe under jit/grad/shard_map/vmap.
+
+    with_stats=True additionally returns the number of *useful* rays
+    traced (live path segments + candidate shadow rays) as an int32
+    scalar — the honest numerator of the rays/s benchmark metric
+    (BASELINE.json:2), excluding dead SIMD lanes.
+    """
+    intersect = _intersector(geometry, cfg)
+    albedo = materials.albedo
+    emission = materials.emission
+    bg = lights.background
+    n_lights = lights.tri_idx.shape[0]
+    N = pixel_ids.shape[0]
+
+    jitter = rng_mod.pixel_jitter(cfg.seed, spp_idx, pixel_ids)
+    o, d = camera_rays(camera, cfg.width, cfg.height, jitter, pixel_ids)
+
+    radiance = jnp.zeros((N, 3), jnp.float32)
+    throughput = jnp.ones((N, 3), jnp.float32)
+    alive = jnp.ones((N,), bool)
+    n_rays = jnp.int32(0)
+
+    for bounce in range(cfg.max_depth):
+        n_rays = n_rays + jnp.sum(alive.astype(jnp.int32))
+        U = rng_mod.bounce_uniforms(cfg.seed, spp_idx, bounce, pixel_ids)
+        t, n_geom, mat = intersect(geometry, o, d)
+        # Detach geometry: grads flow only through the shading chain.
+        t = jax.lax.stop_gradient(t)
+        n_geom = jax.lax.stop_gradient(n_geom)
+        hit = t < C.T_FAR
+
+        miss = alive & ~hit
+        radiance = radiance + jnp.where(
+            miss[:, None], throughput * bg[None, :], 0.0
+        )
+
+        cos_in = -jnp.sum(n_geom * d, -1)
+        if bounce == 0:
+            prim = alive & hit & (cos_in > 0.0)
+            radiance = radiance + jnp.where(
+                prim[:, None], throughput * emission[mat], 0.0
+            )
+
+        alive = alive & hit
+        p = o + t[:, None] * d
+        n_shade = n_geom * jnp.where(cos_in > 0.0, 1.0, -1.0)[:, None]
+
+        # --- Next-event estimation (one shadow ray per path vertex) ----
+        if n_lights > 0:
+            x_l, n_l, mat_l = sample_light(
+                lights, geometry, U[:, rng_mod.LIGHT_SEL],
+                U[:, rng_mod.LIGHT_U1], U[:, rng_mod.LIGHT_U2],
+            )
+            o_sh = p + n_shade * C.RAY_OFFSET
+            dvec = x_l - o_sh
+            dist = jnp.linalg.norm(dvec, axis=-1)
+            wi = dvec / jnp.maximum(dist[:, None], 1e-20)
+            cos_s = jnp.sum(n_shade * wi, -1)
+            cos_l = -jnp.sum(n_l * wi, -1)
+            cand = alive & (cos_s > 0.0) & (cos_l > 0.0)
+            n_rays = n_rays + jnp.sum(cand.astype(jnp.int32))
+            t_sh, _, _ = intersect(geometry, o_sh, wi)
+            vis = t_sh >= dist * (1.0 - C.SHADOW_REL_EPS)
+            geo_term = (
+                cos_s * cos_l * lights.total_area
+                / jnp.maximum(dist * dist, 1e-12)
+            )
+            contrib = (
+                throughput
+                * (albedo[mat] / jnp.pi)
+                * emission[mat_l]
+                * jax.lax.stop_gradient(geo_term)[:, None]
+            )
+            radiance = radiance + jnp.where(
+                (cand & vis)[:, None], contrib, 0.0
+            )
+
+        if bounce + 1 >= cfg.max_depth:
+            break
+
+        # --- Scatter: cosine-weighted diffuse bounce -------------------
+        new_d = cosine_hemisphere(
+            n_shade, U[:, rng_mod.BSDF_U1], U[:, rng_mod.BSDF_U2]
+        )
+        throughput = throughput * albedo[mat]
+        o = p + n_shade * C.RAY_OFFSET
+        d = new_d
+
+        # --- Russian roulette ------------------------------------------
+        if bounce >= cfg.rr_start:
+            pcont = jnp.clip(
+                jnp.max(throughput, -1), C.RR_CLAMP_LO, C.RR_CLAMP_HI
+            )
+            pcont = jax.lax.stop_gradient(pcont)
+            kill = U[:, rng_mod.RR_U] >= pcont
+            alive = alive & ~kill
+            throughput = jnp.where(
+                alive[:, None], throughput / pcont[:, None], throughput
+            )
+
+    if with_stats:
+        return radiance, n_rays
+    return radiance
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_spp"))
+def _render_jit(geometry, materials, camera, lights, cfg: RenderConfig,
+                spp_start, n_spp: int):
+    """Accumulate n_spp samples for the full image inside one XLA program."""
+    pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.uint32)
+
+    if n_spp == 1:
+        acc = trace_sample(
+            geometry, materials, camera, lights, cfg, pixel_ids, spp_start
+        )
+    else:
+        def body(i, acc):
+            return acc + trace_sample(
+                geometry, materials, camera, lights, cfg, pixel_ids,
+                spp_start + i,
+            )
+
+        acc = jax.lax.fori_loop(
+            0, n_spp, body, jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+        )
+    return acc
+
+
+def render_accumulate(scene: Scene, cfg: RenderConfig, materials=None,
+                      spp_start: int = 0, n_spp: int | None = None):
+    """Sum of n_spp samples starting at spp_start, as a flat (N, 3) array.
+
+    The building block for spp-chunked accumulation and resumable renders
+    (SURVEY.md §5.4/§5.7): chunks at different spp_start values add up to
+    exactly the all-at-once render because samples are keyed by spp index.
+    """
+    mats = materials if materials is not None else scene.materials
+    if n_spp is None:
+        n_spp = cfg.spp
+    return _render_jit(
+        scene.geometry, mats, scene.camera, scene.lights, cfg,
+        jnp.uint32(spp_start), n_spp,
+    )
+
+
+def render(scene: Scene, cfg: RenderConfig, materials=None):
+    """Full render → (height, width, 3) float32 linear-radiance image."""
+    chunk = cfg.spp_chunk if cfg.spp_chunk > 0 else cfg.spp
+    chunk = min(chunk, cfg.spp)
+    acc = None
+    s = 0
+    while s < cfg.spp:
+        n = min(chunk, cfg.spp - s)
+        part = render_accumulate(scene, cfg, materials, spp_start=s, n_spp=n)
+        acc = part if acc is None else acc + part
+        s += n
+    img = acc / jnp.float32(cfg.spp)
+    return img.reshape(cfg.height, cfg.width, 3)

@@ -226,7 +226,8 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
     bg = np.asarray(scene.lights.background, np.float32)
     n_lights = int(np.asarray(scene.lights.tri_idx).shape[0])
 
-    jitter = _np_uniforms(rng_mod.pixel_jitter, cfg.seed, spp_idx, N)
+    pixel_ids = np.arange(N, dtype=np.uint32)
+    jitter = _np_uniforms(rng_mod.pixel_jitter, cfg.seed, spp_idx, pixel_ids)
     o, d = camera_rays(scene.camera, cfg.width, cfg.height, jitter)
 
     radiance = np.zeros((N, 3), np.float32)
@@ -234,7 +235,9 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
     alive = np.ones((N,), bool)
 
     for bounce in range(cfg.max_depth):
-        U = _np_uniforms(rng_mod.bounce_uniforms, cfg.seed, spp_idx, bounce, N)
+        U = _np_uniforms(
+            rng_mod.bounce_uniforms, cfg.seed, spp_idx, bounce, pixel_ids
+        )
         t, n_geom, mat = intersect_closest(geom, o, d)
         hit = t < C.T_FAR
 

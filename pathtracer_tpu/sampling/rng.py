@@ -8,12 +8,15 @@ counter-based scheme (BASELINE.json:5 "curand → stateless threefry"):
 
     every uniform is a pure function of (seed, spp_idx, bounce, pixel_id, slot)
 
-computed with JAX's threefry2x32. Threefry is bit-exact across CPU and TPU
-backends, so the numpy oracle (oracle/tracer.py) consumes *identical*
-uniforms by calling these same functions on the CPU backend — this is what
-makes "allclose at fixed seeds" meaningful across oracle/jnp/Pallas and
-across any sharding of the pixel space (SURVEY.md §7 hard part 4: counters
-derive from absolute pixel id, never device id or iteration order).
+computed with JAX's threefry2x32 via a fold_in chain ending in the absolute
+pixel id. Threefry is bit-exact across CPU and TPU backends, so the numpy
+oracle (oracle/tracer.py) consumes *identical* uniforms by calling these
+same functions on the CPU backend — this is what makes "allclose at fixed
+seeds" meaningful across oracle/jnp/Pallas and across ANY sharding of the
+pixel space: a device holding a tile derives draws from the absolute pixel
+ids it owns, never from device id, buffer position, or iteration order
+(SURVEY.md §7 hard part 4). Stream-compacted/permuted ray buffers likewise
+carry their pixel id with them and keep their stream.
 
 Draw layout per (spp_idx, bounce), fixed at N_DRAWS slots:
 
@@ -34,30 +37,34 @@ import jax.numpy as jnp
 LIGHT_SEL, LIGHT_U1, LIGHT_U2, BSDF_U1, BSDF_U2, RR_U = range(6)
 N_DRAWS = 6
 
-_JITTER_TAG = 0x9E3779B1  # distinct stream tag for pixel jitter
+_JITTER_TAG = 0x3779B1  # distinct stream tag for pixel jitter
 
 
-def _base_key(seed: int, spp_idx) -> jax.Array:
+def _stream_key(seed, spp_idx, tag) -> jax.Array:
     key = jax.random.PRNGKey(seed)
-    return jax.random.fold_in(key, spp_idx)
+    key = jax.random.fold_in(key, spp_idx)
+    return jax.random.fold_in(key, tag)
 
 
-def pixel_jitter(seed: int, spp_idx, n_pixels: int) -> jax.Array:
-    """(n_pixels, 2) uniforms in [0,1) for sub-pixel camera-ray jitter.
+def _per_pixel(key, pixel_ids, n: int) -> jax.Array:
+    """(len(pixel_ids), n) uniforms; row i depends only on pixel_ids[i]."""
+    def one(pid):
+        return jax.random.uniform(
+            jax.random.fold_in(key, pid), (n,), dtype=jnp.float32
+        )
 
-    Row i is pixel i in row-major (y * width + x) order — the absolute
-    pixel id, so any sharding of the image produces the same jitter.
+    return jax.vmap(one)(jnp.asarray(pixel_ids, jnp.uint32))
+
+
+def pixel_jitter(seed, spp_idx, pixel_ids) -> jax.Array:
+    """(N, 2) uniforms in [0,1) for sub-pixel camera-ray jitter.
+
+    pixel_ids are absolute row-major ids (y * width + x), so any sharding
+    of the image produces the same jitter for the same pixel.
     """
-    key = jax.random.fold_in(_base_key(seed, spp_idx), _JITTER_TAG)
-    return jax.random.uniform(key, (n_pixels, 2), dtype=jnp.float32)
+    return _per_pixel(_stream_key(seed, spp_idx, _JITTER_TAG), pixel_ids, 2)
 
 
-def bounce_uniforms(seed: int, spp_idx, bounce, n_pixels: int) -> jax.Array:
-    """(n_pixels, N_DRAWS) uniforms for one bounce of every pixel's path.
-
-    Generated for ALL pixels each bounce and gathered by a ray's pixel id,
-    so stream-compacted / permuted ray buffers still consume the draws that
-    belong to their pixel (SURVEY.md §3.3).
-    """
-    key = jax.random.fold_in(_base_key(seed, spp_idx), bounce)
-    return jax.random.uniform(key, (n_pixels, N_DRAWS), dtype=jnp.float32)
+def bounce_uniforms(seed, spp_idx, bounce, pixel_ids) -> jax.Array:
+    """(N, N_DRAWS) uniforms for one bounce of the given pixels' paths."""
+    return _per_pixel(_stream_key(seed, spp_idx, bounce), pixel_ids, N_DRAWS)

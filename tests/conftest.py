@@ -11,9 +11,16 @@ pytest guarantees by importing conftest first.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Hard override: the session environment pins JAX_PLATFORMS=axon (the TPU
+# tunnel), and the axon plugin wins over the env var — only a post-import
+# config update reliably forces the CPU backend (verified empirically).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

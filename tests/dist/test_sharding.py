@@ -1,0 +1,85 @@
+"""Distributed tests on 8 virtual CPU devices (SURVEY.md §4.5):
+sharded render == single-device render bit-for-bit; psum'ed sharded grads
+== single-device grads."""
+
+import jax
+import numpy as np
+import pytest
+
+from pathtracer_tpu.config import RenderConfig
+from pathtracer_tpu.engine import wavefront
+from pathtracer_tpu.parallel import mesh as pmesh
+from pathtracer_tpu.scene import builder
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return builder.cornell_spheres()
+
+
+def _cfg(**kw):
+    base = dict(
+        width=32, height=32, spp=2, max_depth=2, scene="cornell_spheres",
+        use_bvh=False,
+    )
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8, (
+        "conftest.py must provide 8 virtual CPU devices"
+    )
+
+
+def test_sharded_render_equals_single(scene):
+    cfg = _cfg()
+    single = np.asarray(wavefront.render(scene, cfg))
+    m = pmesh.make_mesh(8)
+    sharded = np.asarray(pmesh.render_sharded(scene, cfg, m))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_render_odd_pixel_count(scene):
+    # 30*18 = 540 pixels, not divisible by 8 → exercises padding. Different
+    # per-shard shapes let XLA fuse/contract FMAs differently, so this case
+    # is 1-ulp-tolerant rather than bit-exact (the aligned case above IS
+    # bit-exact).
+    cfg = _cfg(width=30, height=18)
+    single = np.asarray(wavefront.render(scene, cfg))
+    sharded = np.asarray(pmesh.render_sharded(scene, cfg, pmesh.make_mesh(8)))
+    np.testing.assert_allclose(sharded, single, atol=1e-6, rtol=1e-5)
+
+
+def test_sharded_grads_match_single_device(scene):
+    cfg = _cfg(spp=1)
+    target = np.zeros((cfg.height, cfg.width, 3), np.float32)
+
+    loss8, grads8 = pmesh.loss_and_grad_sharded(
+        scene, cfg, scene.materials, target, pmesh.make_mesh(8)
+    )
+    loss1, grads1 = pmesh.loss_and_grad_sharded(
+        scene, cfg, scene.materials, target, pmesh.make_mesh(1)
+    )
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    for g8, g1 in zip(jax.tree.leaves(grads8), jax.tree.leaves(grads1)):
+        np.testing.assert_allclose(
+            np.asarray(g8), np.asarray(g1), rtol=1e-4, atol=1e-7
+        )
+    # Gradients are nonzero for materials visible in frame.
+    assert float(jnp_abs_sum(grads8.albedo)) > 0
+
+
+def jnp_abs_sum(x):
+    return np.abs(np.asarray(x)).sum()
+
+
+def test_grads_finite_and_emission_grad_nonzero(scene):
+    cfg = _cfg(spp=1, max_depth=1)
+    target = np.zeros((cfg.height, cfg.width, 3), np.float32)
+    _, grads = pmesh.loss_and_grad_sharded(
+        scene, cfg, scene.materials, target, pmesh.make_mesh(4)
+    )
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert jnp_abs_sum(grads.emission) > 0
