@@ -81,10 +81,12 @@ def main() -> int:
         scene = with_bvh(scene)
     scene = scene_to_device(scene)
     dev = jax.devices()[0]
-    pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.uint32)
 
     @jax.jit
     def run(geometry, materials, camera, lights):
+        # iota INSIDE jit: a closed-over concrete index array would be
+        # embedded as a huge HLO constant, which stalls the axon compile.
+        pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.uint32)
         return trace_sample(
             geometry, materials, camera, lights, cfg, pixel_ids,
             jnp.uint32(0), with_stats=True,

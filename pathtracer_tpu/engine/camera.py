@@ -23,9 +23,11 @@ def camera_rays(camera, width: int, height: int, jitter, pixel_ids):
     w = jnp.asarray(camera.look_at, jnp.float32) - pos
     w = w / jnp.linalg.norm(w)
     up = jnp.asarray(camera.up, jnp.float32)
-    u = jnp.cross(w, up)
+    # Screen-right = up x forward (canonical Cornell view; keep in lockstep
+    # with oracle/tracer.py:camera_rays).
+    u = jnp.cross(up, w)
     u = u / jnp.linalg.norm(u)
-    v = jnp.cross(u, w)
+    v = jnp.cross(w, u)
     half_h = jnp.tan(jnp.asarray(camera.fov_y, jnp.float32) / 2.0)
     half_w = half_h * (width / height)
 

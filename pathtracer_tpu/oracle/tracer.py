@@ -62,9 +62,12 @@ def camera_rays(camera, width, height, jitter):
     w = np.asarray(camera.look_at, np.float32) - pos
     w = w / np.linalg.norm(w)
     up = np.asarray(camera.up, np.float32)
-    u = np.cross(w, up)
+    # Right-handed basis with screen-right = up x forward: for the Cornell
+    # camera (forward +z, up +y) this puts +x on screen right, i.e. the
+    # canonical view (red wall on image left).
+    u = np.cross(up, w)
     u = u / np.linalg.norm(u)
-    v = np.cross(u, w)
+    v = np.cross(w, u)
     half_h = np.tan(np.float32(camera.fov_y) / 2.0)
     half_w = half_h * (width / height)
 

@@ -24,3 +24,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: CPU test compiles of the traversal/engine
+# programs take minutes; cache them across runs.
+from pathtracer_tpu.utils.cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()

@@ -93,3 +93,33 @@ def test_resume_matches_fresh(scene):
     )
     full = np.asarray(wavefront.render(scene, cfg)).reshape(-1, 3)
     np.testing.assert_allclose((acc01 + acc23) / 4.0, full, atol=1e-5)
+
+
+def test_config2_mesh_bvh_allclose():
+    """Driver config 2 (BASELINE.json:8): mesh Cornell + flat BVH traversal,
+    direct lighting — engine(BVH) == oracle(brute force)."""
+    from pathtracer_tpu.accel.build import with_bvh
+
+    scene = with_bvh(builder.cornell_mesh())
+    cfg = RenderConfig(
+        width=48, height=48, spp=1, max_depth=1, scene="cornell_mesh",
+        use_bvh=True,
+    )
+    img_o = oracle.render(scene, cfg)
+    img_j = np.asarray(wavefront.render(scene, cfg))
+    np.testing.assert_allclose(img_j, img_o, atol=5e-4, rtol=1e-3)
+
+
+def test_config3_gi_allclose():
+    """Driver config 3 (BASELINE.json:9): 4-bounce GI + NEE + RR — scaled
+    down to 24x24/2spp for CI; the estimator is identical at any size."""
+    from pathtracer_tpu.accel.build import with_bvh
+
+    scene = with_bvh(builder.cornell_mesh())
+    cfg = RenderConfig(
+        width=24, height=24, spp=2, max_depth=4, rr_start=2,
+        scene="cornell_mesh", use_bvh=True,
+    )
+    img_o = oracle.render(scene, cfg)
+    img_j = np.asarray(wavefront.render(scene, cfg))
+    np.testing.assert_allclose(img_j, img_o, atol=1e-3, rtol=2e-3)
