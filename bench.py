@@ -98,11 +98,14 @@ def main() -> int:
     radiance.block_until_ready()
     n_rays = int(n_rays)
 
+    # Timing forces a host fetch each iteration: block_until_ready()
+    # returns early through the axon tunnel (verified), so fetching one
+    # scalar is the only reliable completion barrier.
     iters = 3 if args.smoke else args.iters
     t0 = time.perf_counter()
     for _ in range(iters):
         radiance, _ = run(*sargs)
-    radiance.block_until_ready()
+        float(radiance[0, 0])
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = n_rays / dt

@@ -1,0 +1,87 @@
+"""On-TPU check suite: compiled-kernel equality + engine sanity.
+
+CI runs everything on the CPU backend (tests/conftest.py); this script is
+the real-hardware counterpart — run it whenever kernels or the engine
+change and a TPU is attached:
+
+    python scripts/tpu_checks.py [--full]
+
+Checks: Pallas traversal (Mosaic-compiled) == jnp traversal == brute on
+random rays; engine render on TPU == CPU oracle allclose (config 1); a
+mesh render completes and matches the jnp backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from pathtracer_tpu.utils.cache import enable
+
+    enable()
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from pathtracer_tpu.accel.build import with_bvh
+    from pathtracer_tpu.accel.traverse import closest_hit
+    from pathtracer_tpu.config import PRESETS
+    from pathtracer_tpu.engine import wavefront
+    from pathtracer_tpu.ops.traverse_pallas import closest_hit_pallas
+    from pathtracer_tpu.scene import builder
+    from pathtracer_tpu.scene.model import scene_to_device
+
+    ok = True
+
+    scene = scene_to_device(with_bvh(builder.cornell_mesh()))
+    g = scene.geometry
+    rng = np.random.default_rng(0)
+    n = 4096
+    o = (rng.random((n, 3)) * 0.9 + 0.05).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    t0 = time.time()
+    t_p, _, m_p = closest_hit_pallas(g, o, d)
+    t_p = np.asarray(t_p)
+    print(f"[1] pallas compiled+ran in {time.time()-t0:.1f}s")
+    t_j, _, m_j = closest_hit(g, o, d)
+    dt = np.abs(t_p - np.asarray(t_j)).max()
+    same_m = (np.asarray(m_p) == np.asarray(m_j)).all()
+    print(f"    max |t_pallas - t_jnp| = {dt:.2e}, mats equal = {same_m}")
+    ok &= bool(dt < 1e-4 and same_m)
+
+    cfg = PRESETS["config1"]
+    img = np.asarray(wavefront.render(scene_to_device(
+        builder.cornell_spheres()), cfg))
+    from pathtracer_tpu.oracle import tracer as oracle
+
+    img_o = oracle.render(builder.cornell_spheres(), cfg)
+    close = np.allclose(img, img_o, atol=5e-4, rtol=1e-3)
+    print(f"[2] TPU config1 vs oracle allclose = {close}")
+    ok &= bool(close)
+
+    if args.full:
+        cfg_m = PRESETS["config2"].replace(width=128, height=128)
+        img_j = np.asarray(wavefront.render(scene, cfg_m))
+        img_p = np.asarray(
+            wavefront.render(scene, cfg_m.replace(backend="pallas"))
+        )
+        dmax = np.abs(img_j - img_p).max()
+        print(f"[3] engine jnp vs pallas backend: max diff {dmax:.2e}")
+        ok &= bool(dmax < 1e-4)
+
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
