@@ -108,17 +108,46 @@ def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     )
 
 
-def with_bvh(scene: Scene, max_leaf: int = 4) -> Scene:
+# Above this triangle count, `with_bvh(engine="auto")` switches from the
+# numpy median-split builder to the native C++ binned-SAH builder
+# (accel/native.py) — the numpy recursion is too slow for config-5 scale.
+AUTO_NATIVE_THRESHOLD = 100_000
+
+
+def with_bvh(scene: Scene, max_leaf: int = 4, engine: str = "auto") -> Scene:
     """Scene with triangles reordered by leaf and BVH arrays attached.
 
-    Light triangle indices are remapped through the permutation so NEE
-    keeps pointing at the same physical triangles.
+    engine: "numpy" (median split, pure python/numpy, reproducible
+    everywhere), "native" (C++ binned SAH, faster build and better trees),
+    or "auto" (numpy below AUTO_NATIVE_THRESHOLD triangles, else native
+    with numpy fallback). Light triangle indices are remapped through the
+    permutation so NEE keeps pointing at the same physical triangles.
     """
     g = scene.geometry
-    bvh = build_bvh(
-        np.asarray(g.tri_v0), np.asarray(g.tri_e1), np.asarray(g.tri_e2),
-        max_leaf,
+    n_tris = int(np.asarray(g.tri_v0).shape[0])
+    use_native = engine == "native" or (
+        engine == "auto" and n_tris > AUTO_NATIVE_THRESHOLD
     )
+    if use_native:
+        from . import native
+
+        if native.available():
+            bvh = native.build_bvh_native(
+                np.asarray(g.tri_v0), np.asarray(g.tri_e1),
+                np.asarray(g.tri_e2), max_leaf,
+            )
+        elif engine == "native":
+            raise RuntimeError("native BVH builder unavailable")
+        else:
+            bvh = build_bvh(
+                np.asarray(g.tri_v0), np.asarray(g.tri_e1),
+                np.asarray(g.tri_e2), max_leaf,
+            )
+    else:
+        bvh = build_bvh(
+            np.asarray(g.tri_v0), np.asarray(g.tri_e1),
+            np.asarray(g.tri_e2), max_leaf,
+        )
     perm = bvh.order  # new position i holds old triangle perm[i]
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm), dtype=np.int32)

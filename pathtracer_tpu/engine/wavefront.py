@@ -61,6 +61,33 @@ def _intersector(geom, cfg: RenderConfig):
     return isect.brute
 
 
+def _coherence_key(o, d, alive, scene_lo, scene_hi):
+    """Sort key for stream compaction + ray coherence (SURVEY.md §7.1).
+
+    Dead rays sort to the tail; live rays group by direction octant then a
+    6-bit position morton cell, so the fixed-size traversal chunks see
+    spatially/directionally coherent packets (shorter batched while-loops,
+    better locality) — the TPU answer to wavefront compaction
+    (BASELINE.json:5 "megakernel bounce loop → wavefront compaction").
+    """
+    oct_bits = (
+        (d[:, 0] < 0).astype(jnp.int32)
+        | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+        | ((d[:, 2] < 0).astype(jnp.int32) << 2)
+    )
+    q = jnp.clip(
+        (o - scene_lo[None, :]) / (scene_hi - scene_lo)[None, :], 0.0, 0.999
+    )
+    cell = (q * 4.0).astype(jnp.int32)  # 2 bits per axis
+    morton = cell[:, 0] | (cell[:, 1] << 2) | (cell[:, 2] << 4)
+    key = (oct_bits << 6) | morton
+    return jnp.where(alive, key, jnp.int32(1 << 30))
+
+
+def _apply_permutation(perm, *arrays):
+    return tuple(a[perm] for a in arrays)
+
+
 def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
                  pixel_ids, spp_idx, with_stats: bool = False):
     """Trace one path per pixel id; returns (N, 3) radiance.
@@ -87,6 +114,15 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
     throughput = jnp.ones((N, 3), jnp.float32)
     alive = jnp.ones((N,), bool)
     n_rays = jnp.int32(0)
+    # Original buffer slot of each ray (for unscrambling after compaction).
+    slot = jnp.arange(N, dtype=jnp.int32)
+    if cfg.compact:
+        if geometry.bvh_lo.shape[0] > 0:
+            scene_lo = geometry.bvh_lo[0]
+            scene_hi = geometry.bvh_hi[0]
+        else:
+            scene_lo = jnp.min(geometry.tri_v0, axis=0)
+            scene_hi = jnp.max(geometry.tri_v0, axis=0)
 
     for bounce in range(cfg.max_depth):
         n_rays = n_rays + jnp.sum(alive.astype(jnp.int32))
@@ -165,6 +201,21 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
             throughput = jnp.where(
                 alive[:, None], throughput / pcont[:, None], throughput
             )
+
+        # --- Stream compaction / coherence sort ------------------------
+        if cfg.compact:
+            key = _coherence_key(o, d, alive, scene_lo, scene_hi)
+            perm = jnp.argsort(key, stable=True)
+            (o, d, radiance, throughput, pixel_ids, slot) = (
+                _apply_permutation(
+                    perm, o, d, radiance, throughput, pixel_ids, slot
+                )
+            )
+            alive = alive[perm]
+
+    if cfg.compact and cfg.max_depth > 1:
+        # Unscramble back to the caller's ray order (exact permutation).
+        radiance = jnp.zeros_like(radiance).at[slot].set(radiance)
 
     if with_stats:
         return radiance, n_rays

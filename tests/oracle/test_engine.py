@@ -123,3 +123,26 @@ def test_config3_gi_allclose():
     img_o = oracle.render(scene, cfg)
     img_j = np.asarray(wavefront.render(scene, cfg))
     np.testing.assert_allclose(img_j, img_o, atol=1e-3, rtol=2e-3)
+
+
+def test_compaction_exact_equality(scene):
+    """Stream compaction (coherence sort) must not change a single bit:
+    draws are keyed by pixel id and the final unscramble is an exact
+    permutation."""
+    cfg = _cfg(width=32, height=32, spp=2, max_depth=4, rr_start=1)
+    plain = np.asarray(wavefront.render(scene, cfg))
+    compact = np.asarray(wavefront.render(scene, cfg.replace(compact=True)))
+    np.testing.assert_array_equal(compact, plain)
+
+
+def test_compaction_with_bvh_mesh():
+    from pathtracer_tpu.accel.build import with_bvh
+
+    mesh = with_bvh(builder.cornell_mesh(mesh_tris=builder.procedural_bunny(2)))
+    cfg = RenderConfig(
+        width=24, height=24, spp=1, max_depth=3, rr_start=1,
+        scene="cornell_mesh", use_bvh=True, compact=True,
+    )
+    a = np.asarray(wavefront.render(mesh, cfg))
+    b = np.asarray(wavefront.render(mesh, cfg.replace(compact=False)))
+    np.testing.assert_array_equal(a, b)

@@ -121,3 +121,55 @@ def test_obj_loader_roundtrip(tmp_path):
     unit = normalize_to_unit(tri)
     span = unit.reshape(-1, 3).max(0) - unit.reshape(-1, 3).min(0)
     np.testing.assert_allclose(span.max(), 1.0, rtol=1e-6)
+
+
+def test_native_builder_matches_numpy_semantics():
+    """C++ binned-SAH builder: same invariants, same closest hits."""
+    from pathtracer_tpu.accel import native
+    from pathtracer_tpu.scene import builder as B
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native builder not built")
+    scene = B.cornell_mesh(mesh_tris=B.procedural_bunny(2))
+    g = scene.geometry
+    v0 = np.asarray(g.tri_v0)
+    e1 = np.asarray(g.tri_e1)
+    e2 = np.asarray(g.tri_e2)
+    bvh_n = native.build_bvh_native(v0, e1, e2)
+    check_invariants(bvh_n, len(v0))
+
+    # Same closest hits through the traversal as the numpy tree.
+    s_np = with_bvh(scene, engine="numpy")
+    s_nat = with_bvh(scene, engine="native")
+    o, d = _random_rays(1024, seed=7)
+    t_a, _, m_a = closest_hit(s_np.geometry, o, d)
+    t_b, _, m_b = closest_hit(s_nat.geometry, o, d)
+    np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), atol=1e-5)
+    # Materials may differ only where two triangles tie at shared edges.
+    mism = (np.asarray(m_a) != np.asarray(m_b)).mean()
+    assert mism < 0.005, mism
+
+
+def test_native_builder_big_input_fast():
+    """SAH build of ~80k triangles completes quickly (config-5 scale is
+    2M; this keeps CI cheap while catching gross regressions)."""
+    import time
+
+    from pathtracer_tpu.accel import native
+    from pathtracer_tpu.scene import builder as B
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native builder not built")
+    tri = B.procedural_bunny(6)  # 81920 triangles
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - v0
+    e2 = tri[:, 2] - v0
+    t0 = time.time()
+    bvh = native.build_bvh_native(v0, e1, e2)
+    dt = time.time() - t0
+    assert dt < 5.0, dt
+    assert len(bvh.order) == len(tri)
