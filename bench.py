@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--backend", default=None,
                     help="override cfg.backend (jnp|pallas)")
+    ap.add_argument("--bands", type=int, default=0,
+                    help="render in N horizontal bands (0 = auto). Keeps "
+                    "each device program short enough for remote-TPU "
+                    "watchdogs while measuring the same total work.")
     args = ap.parse_args()
 
     import jax
@@ -82,30 +86,42 @@ def main() -> int:
     scene = scene_to_device(scene)
     dev = jax.devices()[0]
 
+    # Band the image so each device program stays short (the remote-TPU
+    # watchdog kills multi-second programs); auto = <=128k pixels/band.
+    bands = args.bands or max(1, cfg.n_pixels // (128 * 1024))
+    band = cfg.n_pixels // bands
+    assert cfg.n_pixels % bands == 0, (cfg.n_pixels, bands)
+
     @jax.jit
-    def run(geometry, materials, camera, lights):
+    def run(geometry, materials, camera, lights, band_start):
         # iota INSIDE jit: a closed-over concrete index array would be
         # embedded as a huge HLO constant, which stalls the axon compile.
-        pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.uint32)
+        pixel_ids = band_start + jnp.arange(band, dtype=jnp.uint32)
         return trace_sample(
             geometry, materials, camera, lights, cfg, pixel_ids,
             jnp.uint32(0), with_stats=True,
         )
 
     sargs = (scene.geometry, scene.materials, scene.camera, scene.lights)
-    # Warm-up / compile + exact useful-ray count.
-    radiance, n_rays = run(*sargs)
-    radiance.block_until_ready()
-    n_rays = int(n_rays)
 
-    # Timing forces a host fetch each iteration: block_until_ready()
-    # returns early through the axon tunnel (verified), so fetching one
-    # scalar is the only reliable completion barrier.
+    def full_frame():
+        """One full image; returns (last_radiance, total_rays)."""
+        total = 0
+        for b in range(bands):
+            radiance, n = run(*sargs, jnp.uint32(b * band))
+            total += int(n)  # int() is the host-fetch completion barrier
+        return radiance, total
+
+    # Warm-up / compile + exact useful-ray count.
+    radiance, n_rays = full_frame()
+
+    # Timing forces a host fetch each band: block_until_ready() returns
+    # early through the axon tunnel (verified), so fetching is the only
+    # reliable completion barrier.
     iters = 3 if args.smoke else args.iters
     t0 = time.perf_counter()
     for _ in range(iters):
-        radiance, _ = run(*sargs)
-        float(radiance[0, 0])
+        radiance, _ = full_frame()
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = n_rays / dt

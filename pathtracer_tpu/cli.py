@@ -35,6 +35,15 @@ def _add_cfg_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-bvh", action="store_true")
     p.add_argument("--config-json", default=None,
                    help="path to a RenderConfig JSON (configs/*.json)")
+    # Camera overrides: the reference's interactive fly-camera (SURVEY.md
+    # §2.1 R9/R10) maps to explicit camera flags; accumulation restarts
+    # naturally because a new camera is a new render.
+    p.add_argument("--cam-pos", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--cam-look", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--cam-fov", type=float, default=None,
+                   help="vertical field of view in degrees")
 
 
 def _build_cfg(args):
@@ -63,12 +72,35 @@ def _build_cfg(args):
     return cfg.replace(**over)
 
 
-def _prepare_scene(cfg):
+def _prepare_scene(cfg, args=None):
+    import dataclasses
+    import math
+
+    import numpy as np
+
     from .accel.build import with_bvh
     from .scene.builder import build_scene
-    from .scene.model import scene_to_device
+    from .scene.model import Camera, scene_to_device
 
     scene = build_scene(cfg.scene)
+    if args is not None and (args.cam_pos or args.cam_look or args.cam_fov):
+        cam = scene.camera
+        scene = dataclasses.replace(
+            scene,
+            camera=Camera(
+                position=np.asarray(
+                    args.cam_pos or np.asarray(cam.position), np.float32
+                ),
+                look_at=np.asarray(
+                    args.cam_look or np.asarray(cam.look_at), np.float32
+                ),
+                up=np.asarray(cam.up, np.float32),
+                fov_y=np.float32(
+                    math.radians(args.cam_fov) if args.cam_fov
+                    else np.asarray(cam.fov_y)
+                ),
+            ),
+        )
     if cfg.use_bvh:
         scene = with_bvh(scene)
     return scene_to_device(scene)
@@ -81,7 +113,7 @@ def cmd_render(args) -> int:
     from .io import framebuffer as fb
 
     cfg = _build_cfg(args)
-    scene = _prepare_scene(cfg)
+    scene = _prepare_scene(cfg, args)
     t0 = time.time()
 
     spp_done = 0
@@ -127,7 +159,7 @@ def cmd_fit(args) -> int:
     from .io import framebuffer as fb
 
     cfg = _build_cfg(args)
-    scene = _prepare_scene(cfg)
+    scene = _prepare_scene(cfg, args)
     if args.target:
         target = np.load(args.target)
     else:
