@@ -25,3 +25,11 @@ SHADOW_REL_EPS = 1e-3
 # Russian roulette continuation probability clamp.
 RR_CLAMP_LO = 0.05
 RR_CLAMP_HI = 0.95
+
+# Material types (smallpt-style DIFF/SPEC/REFR set — the material palette
+# of the reference's class of CUDA Cornell tracers; SURVEY.md §2.1 R4).
+# Stored per material id in Geometry.mat_type: the type table is scene
+# structure, NOT a differentiable parameter (SURVEY.md §7 hard part 3).
+MAT_DIFF = 0  # Lambertian: cosine-sampled, NEE applies
+MAT_SPEC = 1  # perfect mirror: delta reflection, tinted by albedo
+MAT_REFR = 2  # smooth dielectric: Fresnel reflect/refract (Geometry.mat_ior)

@@ -233,9 +233,17 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
     jitter = _np_uniforms(rng_mod.pixel_jitter, cfg.seed, spp_idx, pixel_ids)
     o, d = camera_rays(scene.camera, cfg.width, cfg.height, jitter)
 
+    mtype = np.asarray(geom.mat_type)
+    mior = np.asarray(geom.mat_ior)
+
     radiance = np.zeros((N, 3), np.float32)
     throughput = np.ones((N, 3), np.float32)
     alive = np.ones((N,), bool)
+    # True while the path has crossed only delta (specular/refractive)
+    # vertices so far: such paths see emission directly on a light hit,
+    # because NEE cannot sample through a delta lobe (no double counting:
+    # diffuse vertices switch this off and rely on NEE alone).
+    spec_chain = np.ones((N,), bool)
 
     for bounce in range(cfg.max_depth):
         U = _np_uniforms(
@@ -248,12 +256,12 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
         miss = alive & ~hit
         radiance[miss] += throughput[miss] * bg
 
-        # Primary front-face hits see emission directly; afterwards direct
-        # light arrives only via NEE (no double counting).
+        # Front-face hits at the head of a delta chain (bounce 0, or only
+        # SPEC/REFR vertices so far) see emission directly; afterwards
+        # direct light arrives only via NEE (no double counting).
         cos_in = -(n_geom * d).sum(-1)  # dot(n_geom, -d)
-        if bounce == 0:
-            prim = alive & hit & (cos_in > 0.0)
-            radiance[prim] += throughput[prim] * emission[mat[prim]]
+        prim = alive & hit & (cos_in > 0.0) & spec_chain
+        radiance[prim] += throughput[prim] * emission[mat[prim]]
 
         alive = alive & hit
         if not alive.any():
@@ -261,8 +269,12 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
 
         p = o + t[:, None] * d
         n_shade = n_geom * np.where(cos_in > 0.0, 1.0, -1.0)[:, None]
+        mt = mtype[mat]
+        is_diff = mt == C.MAT_DIFF
+        is_refr = mt == C.MAT_REFR
 
-        # --- Next-event estimation -----------------------------------
+        # --- Next-event estimation (diffuse vertices only: delta lobes
+        # have zero probability of the NEE direction) -------------------
         if n_lights > 0:
             x_l, n_l, mat_l = _sample_light(
                 scene.lights, geom, U[:, rng_mod.LIGHT_SEL],

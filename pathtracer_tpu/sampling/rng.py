@@ -23,6 +23,7 @@ Draw layout per (spp_idx, bounce), fixed at N_DRAWS slots:
     0: light-triangle selection      3: BSDF u1 (cosine r^2)
     1: light barycentric u1          4: BSDF u2 (cosine phi)
     2: light barycentric u2          5: Russian-roulette u
+    6: Fresnel reflect/refract u (dielectrics)
 
 Pixel jitter (2 draws) uses a distinct fold_in tag so it never collides
 with a bounce stream.
@@ -34,8 +35,9 @@ import jax
 import jax.numpy as jnp
 
 # Slot indices into a per-bounce draw row.
-LIGHT_SEL, LIGHT_U1, LIGHT_U2, BSDF_U1, BSDF_U2, RR_U = range(6)
-N_DRAWS = 6
+(LIGHT_SEL, LIGHT_U1, LIGHT_U2, BSDF_U1, BSDF_U2, RR_U,
+ FRESNEL_U) = range(7)
+N_DRAWS = 7
 
 _JITTER_TAG = 0x3779B1  # distinct stream tag for pixel jitter
 

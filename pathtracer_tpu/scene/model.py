@@ -68,6 +68,13 @@ class Geometry:
     bvh_first: jax.Array  # (N,) i32 first-triangle (leaf) / unused (internal)
     bvh_count: jax.Array  # (N,) i32 0 = internal, >0 = leaf triangle count
     bvh_skip: jax.Array  # (N,) i32 next cursor on box miss / after leaf
+    # Per-material-id scatter type table (constants.MAT_DIFF/SPEC/REFR) and
+    # dielectric index of refraction. These live in Geometry, NOT Materials,
+    # because they are structural (non-differentiable) scene data: jax.grad
+    # runs w.r.t. the Materials pytree only, and keeping int/ior tables out
+    # of it keeps the optimizer pytrees purely float (SURVEY.md §7 part 3).
+    mat_type: jax.Array  # (M,) i32
+    mat_ior: jax.Array  # (M,) f32 (used when mat_type == MAT_REFR)
 
 
 @_pytree_dataclass
@@ -118,8 +125,15 @@ def make_geometry(
     sph_c: np.ndarray | None = None,
     sph_r: np.ndarray | None = None,
     sph_mat: np.ndarray | None = None,
+    mat_type: np.ndarray | None = None,
+    mat_ior: np.ndarray | None = None,
 ) -> Geometry:
-    """Build a Geometry (without BVH) from a (T, 3, 3) vertex array."""
+    """Build a Geometry (without BVH) from a (T, 3, 3) vertex array.
+
+    mat_type/mat_ior are per-material-id tables (see Geometry docstring);
+    omitted, every material is Lambertian (MAT_DIFF) — the pre-extension
+    default, so all-diffuse scenes are unchanged.
+    """
     tri_verts = np.asarray(tri_verts, np.float32).reshape(-1, 3, 3)
     v0 = tri_verts[:, 0]
     e1 = tri_verts[:, 1] - v0
@@ -131,6 +145,18 @@ def make_geometry(
         sph_c = np.zeros((0, 3), np.float32)
         sph_r = np.zeros((0,), np.float32)
         sph_mat = np.zeros((0,), np.int32)
+    tri_mat = np.asarray(tri_mat, np.int32)
+    sph_mat_a = np.asarray(sph_mat, np.int32).reshape(-1)
+    n_mats = int(
+        max(
+            tri_mat.max(initial=-1),
+            sph_mat_a.max(initial=-1),
+        )
+    ) + 1
+    if mat_type is None:
+        mat_type = np.zeros((n_mats,), np.int32)  # all MAT_DIFF
+    if mat_ior is None:
+        mat_ior = np.full((n_mats,), 1.5, np.float32)
     empty3 = np.zeros((0, 3), np.float32)
     empty1i = np.zeros((0,), np.int32)
     return Geometry(
@@ -138,15 +164,17 @@ def make_geometry(
         tri_e1=e1.astype(np.float32),
         tri_e2=e2.astype(np.float32),
         tri_n=n.astype(np.float32),
-        tri_mat=np.asarray(tri_mat, np.int32),
+        tri_mat=tri_mat,
         sph_c=np.asarray(sph_c, np.float32).reshape(-1, 3),
         sph_r=np.asarray(sph_r, np.float32).reshape(-1),
-        sph_mat=np.asarray(sph_mat, np.int32).reshape(-1),
+        sph_mat=sph_mat_a,
         bvh_lo=empty3,
         bvh_hi=empty3,
         bvh_first=empty1i,
         bvh_count=empty1i,
         bvh_skip=empty1i,
+        mat_type=np.asarray(mat_type, np.int32).reshape(-1),
+        mat_ior=np.asarray(mat_ior, np.float32).reshape(-1),
     )
 
 
