@@ -35,6 +35,33 @@ def cosine_hemisphere(n, u1, u2):
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
+def reflect(d, n_shade, cos_o):
+    """Mirror reflection of d about unit normal n_shade; cos_o = dot(n,-d)."""
+    return d + 2.0 * cos_o[:, None] * n_shade
+
+
+def refract_dir(d, n_shade, cos_o, eta):
+    """Snell refraction of d through n_shade (normal toward the ray side).
+
+    Returns (t_dir, tir): the unit transmitted direction (garbage when tir
+    is True — caller must select the reflection there) and the
+    total-internal-reflection mask.
+    """
+    k = 1.0 - eta * eta * (1.0 - cos_o * cos_o)
+    tir = k < 0.0
+    t = eta[:, None] * d + (
+        eta * cos_o - jnp.sqrt(jnp.maximum(k, 0.0))
+    )[:, None] * n_shade
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-20)
+    return t, tir
+
+
+def schlick(cos_x, ior):
+    """Schlick Fresnel reflectance for a dielectric of index ior."""
+    r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+    return r0 + (1.0 - r0) * (1.0 - jnp.clip(cos_x, 0.0, 1.0)) ** 5
+
+
 def sample_light(lights, geom, u_sel, u1, u2):
     """Uniform-by-area point on emissive triangles (oracle _sample_light).
 

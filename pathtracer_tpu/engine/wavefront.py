@@ -18,6 +18,15 @@ pixel ids, and all randomness keys off those ids, so parallel/mesh.py can
 `shard_map` it over image tiles and reproduce the single-device image
 bit-for-bit.
 
+Materials follow the smallpt-style DIFF/SPEC/REFR palette of the
+reference's class of CUDA Cornell tracers (constants.MAT_*): Lambertian
+vertices use NEE + cosine sampling; mirror and dielectric vertices are
+delta lobes — no NEE, the next emissive hit is credited directly
+(spec_chain), dielectrics pick reflect/refract by Schlick Fresnel with
+total internal reflection. All lanes compute all three lobes and select
+by material type — the branchless wavefront formulation of the
+reference's per-thread switch.
+
 Differentiability contract (SURVEY.md §7 hard part 3): geometry outputs of
 intersection (t, normal) and the RR continuation probability are wrapped in
 `stop_gradient`; pixel radiance stays differentiable w.r.t. the material
@@ -38,7 +47,13 @@ from ..sampling import rng as rng_mod
 from ..scene.model import Scene
 from . import intersect as isect
 from .camera import camera_rays
-from .shading import cosine_hemisphere, sample_light
+from .shading import (
+    cosine_hemisphere,
+    reflect,
+    refract_dir,
+    sample_light,
+    schlick,
+)
 
 
 def _intersector(geom, cfg: RenderConfig):
@@ -113,6 +128,10 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
     radiance = jnp.zeros((N, 3), jnp.float32)
     throughput = jnp.ones((N, 3), jnp.float32)
     alive = jnp.ones((N,), bool)
+    # True when the previous scatter was a delta lobe (or the camera ray):
+    # such hits see emission directly; diffuse-scattered hits rely on NEE
+    # (oracle/tracer.py spec_chain — same no-double-counting rule).
+    spec_chain = jnp.ones((N,), bool)
     n_rays = jnp.int32(0)
     # Original buffer slot of each ray (for unscrambling after compaction).
     slot = jnp.arange(N, dtype=jnp.int32)
@@ -139,15 +158,17 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
         )
 
         cos_in = -jnp.sum(n_geom * d, -1)
-        if bounce == 0:
-            prim = alive & hit & (cos_in > 0.0)
-            radiance = radiance + jnp.where(
-                prim[:, None], throughput * emission[mat], 0.0
-            )
+        prim = alive & hit & (cos_in > 0.0) & spec_chain
+        radiance = radiance + jnp.where(
+            prim[:, None], throughput * emission[mat], 0.0
+        )
 
         alive = alive & hit
         p = o + t[:, None] * d
         n_shade = n_geom * jnp.where(cos_in > 0.0, 1.0, -1.0)[:, None]
+        mt = geometry.mat_type[mat]
+        is_diff = mt == C.MAT_DIFF
+        is_refr = mt == C.MAT_REFR
 
         # --- Next-event estimation (one shadow ray per path vertex) ----
         if n_lights > 0:
@@ -161,7 +182,7 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
             wi = dvec / jnp.maximum(dist[:, None], 1e-20)
             cos_s = jnp.sum(n_shade * wi, -1)
             cos_l = -jnp.sum(n_l * wi, -1)
-            cand = alive & (cos_s > 0.0) & (cos_l > 0.0)
+            cand = alive & is_diff & (cos_s > 0.0) & (cos_l > 0.0)
             n_rays = n_rays + jnp.sum(cand.astype(jnp.int32))
             t_sh, _, _ = intersect(geometry, o_sh, wi)
             vis = t_sh >= dist * (1.0 - C.SHADOW_REL_EPS)
@@ -182,13 +203,38 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
         if bounce + 1 >= cfg.max_depth:
             break
 
-        # --- Scatter: cosine-weighted diffuse bounce -------------------
-        new_d = cosine_hemisphere(
+        # --- Scatter (mirrors oracle/tracer.py exactly) ----------------
+        # DIFF cosine hemisphere; SPEC mirror; REFR Schlick-Fresnel
+        # reflect/refract with TIR. All directions derive from detached
+        # geometry, so no grads leak through them; throughput keeps the
+        # differentiable albedo chain for every lobe.
+        d_diff = cosine_hemisphere(
             n_shade, U[:, rng_mod.BSDF_U1], U[:, rng_mod.BSDF_U2]
         )
+        cos_o = jnp.maximum(
+            cos_in * jnp.where(cos_in > 0.0, 1.0, -1.0), 0.0
+        )
+        d_refl = reflect(d, n_shade, cos_o)
+        entering = cos_in > 0.0
+        ior = geometry.mat_ior[mat]
+        eta = jnp.where(entering, 1.0 / ior, ior)
+        d_refr, tir = refract_dir(d, n_shade, cos_o, eta)
+        cos_x = jnp.where(entering, cos_o, jnp.sum(d_refr * n_geom, -1))
+        fres = schlick(cos_x, ior)
+        do_reflect = tir | (U[:, rng_mod.FRESNEL_U] < fres)
+        d_glass = jnp.where(do_reflect[:, None], d_refl, d_refr)
+        transmit = is_refr & ~do_reflect
+
+        new_d = jnp.where(
+            is_diff[:, None],
+            d_diff,
+            jnp.where(is_refr[:, None], d_glass, d_refl),
+        )
         throughput = throughput * albedo[mat]
-        o = p + n_shade * C.RAY_OFFSET
+        off = jnp.where(transmit, -C.RAY_OFFSET, C.RAY_OFFSET)
+        o = p + n_shade * off[:, None]
         d = new_d
+        spec_chain = ~is_diff
 
         # --- Russian roulette ------------------------------------------
         if bounce >= cfg.rr_start:
@@ -212,6 +258,7 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
                 )
             )
             alive = alive[perm]
+            spec_chain = spec_chain[perm]
 
     if cfg.compact and cfg.max_depth > 1:
         # Unscramble back to the caller's ray order (exact permutation).

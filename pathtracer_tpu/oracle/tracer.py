@@ -18,8 +18,13 @@ Design rules for this file:
   * structure mirrors the estimator definition, not the TPU implementation.
 
 Estimator (shared contract, see also engine/wavefront.py):
-  * emission is added only on primary (bounce-0) front-face hits; all other
-    direct lighting comes from next-event estimation at each path vertex;
+  * emission is added on front-face hits reached via the camera ray or a
+    delta (SPEC/REFR) scatter; hits reached via a diffuse scatter rely on
+    next-event estimation for their direct light (no double counting);
+  * materials scatter by Geometry.mat_type: MAT_DIFF cosine-sampled
+    Lambertian with NEE, MAT_SPEC perfect mirror, MAT_REFR smooth
+    dielectric with Schlick-Fresnel reflect/refract selection (TIR
+    reflects); all three tint throughput by albedo;
   * on a miss, background radiance weighted by throughput is added and the
     path ends;
   * diffuse BRDF albedo/pi, cosine-weighted hemisphere sampling (pdf
@@ -239,10 +244,12 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
     radiance = np.zeros((N, 3), np.float32)
     throughput = np.ones((N, 3), np.float32)
     alive = np.ones((N,), bool)
-    # True while the path has crossed only delta (specular/refractive)
-    # vertices so far: such paths see emission directly on a light hit,
-    # because NEE cannot sample through a delta lobe (no double counting:
-    # diffuse vertices switch this off and rely on NEE alone).
+    # True when the *previous* scatter was a delta lobe (specular or
+    # refractive) or this is the camera ray: such hits see emission
+    # directly, because NEE cannot sample through a delta lobe. Diffuse
+    # scatters switch it off for the next hit (their direct light arrives
+    # via NEE alone — no double counting), but a later delta scatter
+    # switches it back on, so mirror/glass images of lights survive.
     spec_chain = np.ones((N,), bool)
 
     for bounce in range(cfg.max_depth):
@@ -256,9 +263,9 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
         miss = alive & ~hit
         radiance[miss] += throughput[miss] * bg
 
-        # Front-face hits at the head of a delta chain (bounce 0, or only
-        # SPEC/REFR vertices so far) see emission directly; afterwards
-        # direct light arrives only via NEE (no double counting).
+        # Front-face hits reached via the camera or a delta scatter see
+        # emission directly; hits reached via a diffuse scatter get their
+        # direct light from NEE instead (no double counting).
         cos_in = -(n_geom * d).sum(-1)  # dot(n_geom, -d)
         prim = alive & hit & (cos_in > 0.0) & spec_chain
         radiance[prim] += throughput[prim] * emission[mat[prim]]
@@ -286,7 +293,7 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
             wi = dvec / np.maximum(dist[:, None], 1e-20)
             cos_s = (n_shade * wi).sum(-1)
             cos_l = -(n_l * wi).sum(-1)
-            cand = alive & (cos_s > 0.0) & (cos_l > 0.0)
+            cand = alive & is_diff & (cos_s > 0.0) & (cos_l > 0.0)
             if cand.any():
                 t_sh, _, _ = intersect_closest(geom, o_sh[cand], wi[cand])
                 vis = t_sh >= dist[cand] * (1.0 - C.SHADOW_REL_EPS)
@@ -307,13 +314,45 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
         if bounce + 1 >= cfg.max_depth:
             break
 
-        # --- Scatter: cosine-weighted diffuse bounce ------------------
-        new_d = cosine_hemisphere(
+        # --- Scatter ---------------------------------------------------
+        # DIFF: cosine-weighted hemisphere (pdf cos/pi → throughput *=
+        # albedo). SPEC: perfect mirror (delta). REFR: smooth dielectric —
+        # Schlick Fresnel picks reflect vs refract with probability R
+        # (weight 1/R and R cancel), total internal reflection reflects.
+        d_diff = cosine_hemisphere(
             n_shade, U[:, rng_mod.BSDF_U1], U[:, rng_mod.BSDF_U2]
         )
+        cos_o = np.maximum(cos_in * np.where(cos_in > 0.0, 1.0, -1.0), 0.0)
+        d_refl = d + 2.0 * cos_o[:, None] * n_shade
+
+        entering = cos_in > 0.0
+        ior = mior[mat]
+        eta = np.where(entering, 1.0 / ior, ior).astype(np.float32)
+        k = 1.0 - eta * eta * (1.0 - cos_o * cos_o)
+        tir = k < 0.0
+        d_refr = eta[:, None] * d + (
+            eta * cos_o - np.sqrt(np.maximum(k, 0.0))
+        )[:, None] * n_shade
+        d_refr /= np.maximum(
+            np.linalg.norm(d_refr, axis=-1, keepdims=True), 1e-20
+        )
+        r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+        cos_x = np.where(entering, cos_o, (d_refr * n_geom).sum(-1))
+        fres = r0 + (1.0 - r0) * (1.0 - np.clip(cos_x, 0.0, 1.0)) ** 5
+        reflect = tir | (U[:, rng_mod.FRESNEL_U] < fres)
+        d_glass = np.where(reflect[:, None], d_refl, d_refr)
+        transmit = is_refr & ~reflect
+
+        new_d = np.where(
+            is_diff[:, None],
+            d_diff,
+            np.where(is_refr[:, None], d_glass, d_refl),
+        ).astype(np.float32)
         throughput = throughput * albedo[mat]
-        o = (p + n_shade * C.RAY_OFFSET).astype(np.float32)
+        off = np.where(transmit, -C.RAY_OFFSET, C.RAY_OFFSET)
+        o = (p + n_shade * off[:, None]).astype(np.float32)
         d = new_d
+        spec_chain = ~is_diff
 
         # --- Russian roulette -----------------------------------------
         if bounce >= cfg.rr_start:

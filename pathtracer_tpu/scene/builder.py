@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import constants as C
 from ..scene import model
 from ..scene.model import Camera, Materials, Scene, make_geometry, make_lights
 
@@ -102,6 +103,40 @@ def cornell_spheres(background=(0.0, 0.0, 0.0)) -> Scene:
         sph_mat=np.array([SPHERE_A, SPHERE_B], np.int32),
     )
     materials = default_materials()
+    return Scene(
+        geometry=geom,
+        materials=materials,
+        camera=default_camera(),
+        lights=make_lights(geom, materials, background),
+    )
+
+
+def cornell_specular(background=(0.0, 0.0, 0.0)) -> Scene:
+    """Cornell box with a mirror sphere and a glass sphere.
+
+    The classic CUDA-Cornell material palette (smallpt-style DIFF/SPEC/REFR,
+    SURVEY.md §2.1 R4): SPHERE_A is a perfect mirror, SPHERE_B a smooth
+    dielectric (ior 1.5); the walls stay Lambertian.
+    """
+    tris, mats = _cornell_walls()
+    mat_type = np.zeros((7,), np.int32)
+    mat_type[SPHERE_A] = C.MAT_SPEC
+    mat_type[SPHERE_B] = C.MAT_REFR
+    geom = make_geometry(
+        tris,
+        mats,
+        sph_c=np.array([[0.3, 0.18, 0.45], [0.72, 0.14, 0.65]], np.float32),
+        sph_r=np.array([0.18, 0.14], np.float32),
+        sph_mat=np.array([SPHERE_A, SPHERE_B], np.int32),
+        mat_type=mat_type,
+    )
+    materials = default_materials()
+    # Near-white tints so the delta lobes carry energy (mirror slightly
+    # grey, glass almost clear).
+    albedo = np.asarray(materials.albedo).copy()
+    albedo[SPHERE_A] = [0.95, 0.95, 0.95]
+    albedo[SPHERE_B] = [0.99, 0.99, 0.99]
+    materials = Materials(albedo=albedo, emission=materials.emission)
     return Scene(
         geometry=geom,
         materials=materials,
@@ -256,6 +291,7 @@ def big_mesh(n_target: int = 2_000_000, background=(0.0, 0.0, 0.0)) -> Scene:
 
 _BUILDERS = {
     "cornell_spheres": cornell_spheres,
+    "cornell_specular": cornell_specular,
     "cornell_mesh": cornell_mesh,
     "big_mesh": big_mesh,
 }

@@ -125,6 +125,19 @@ def test_config3_gi_allclose():
     np.testing.assert_allclose(img_j, img_o, atol=1e-3, rtol=2e-3)
 
 
+def test_specular_materials_allclose():
+    """Mirror + glass spheres (MAT_SPEC/MAT_REFR): full delta-lobe path —
+    Fresnel select, TIR, spec_chain emission rule — engine == oracle."""
+    scene = builder.cornell_specular()
+    cfg = RenderConfig(
+        width=24, height=24, spp=2, max_depth=5, rr_start=2,
+        scene="cornell_specular", use_bvh=False,
+    )
+    img_o = oracle.render(scene, cfg)
+    img_j = np.asarray(wavefront.render(scene, cfg))
+    np.testing.assert_allclose(img_j, img_o, atol=1e-3, rtol=2e-3)
+
+
 def test_compaction_exact_equality(scene):
     """Stream compaction (coherence sort) must not change a single bit:
     draws are keyed by pixel id and the final unscramble is an exact
