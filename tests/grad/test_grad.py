@@ -143,7 +143,7 @@ def test_inverse_rendering_converges(scene):
     state = opt.init(start)
     mats = start
     loss0 = None
-    for _ in range(30):
+    for _ in range(45):
         loss, grads = dr.loss_and_grad(scene, cfg, mats, target)
         if loss0 is None:
             loss0 = float(loss)

@@ -62,5 +62,6 @@ def test_draw_layout_stable():
         rng.BSDF_U1,
         rng.BSDF_U2,
         rng.RR_U,
-    ) == (0, 1, 2, 3, 4, 5)
-    assert rng.N_DRAWS == 6
+        rng.FRESNEL_U,
+    ) == (0, 1, 2, 3, 4, 5, 6)
+    assert rng.N_DRAWS == 7
