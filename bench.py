@@ -1,17 +1,27 @@
 """Primary benchmark: rays/s/chip, 1spp 1024x1024 Cornell-mesh.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "rays/s/chip", "vs_baseline": N}
+Prints ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
 
 Metric definition (BASELINE.json:2): useful rays traced per second per
 chip on the Cornell-mesh scene at 1spp 1024x1024 (4-bounce path with NEE
 shadow rays; ray count measured exactly by the instrumented engine, dead
 lanes excluded). The upstream reference publishes no numbers
 ("published": {}, BASELINE.json:13), so vs_baseline compares against this
-repo's own recorded best (.bench_baseline.json, committed once first
-measured); 1.0 on the first run.
+repo's own recorded round-1 number (.bench_baseline.json).
+
+The measurement is TIME-BOXED (--budget seconds, default 60): the image is
+rendered in bands, each band is timed individually, and bands are cycled
+until the budget is exhausted. rays/s = sum(band rays) / sum(band seconds)
+over however many complete bands fit — an honest steady-state throughput
+that always produces a number inside a CI timeout regardless of absolute
+speed (round-1 failure mode: BENCH_r01.json rc=124).
+
+Also appends one SURVEY.md §5.5 schema row per run to bench_metrics.jsonl:
+    {config, chips, hosts, rays_per_s_per_chip, scaling_eff}
 
 Usage: python bench.py [--smoke] [--scene cornell_mesh] [--depth 4]
+                       [--backend jnp|pallas] [--budget 60] [--compact]
 """
 
 from __future__ import annotations
@@ -31,18 +41,22 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--depth", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--budget", type=float, default=60.0,
+                    help="wall-clock seconds of timed measurement")
     ap.add_argument("--backend", default=None,
                     help="override cfg.backend (jnp|pallas)")
+    ap.add_argument("--compact", action="store_true",
+                    help="enable stream compaction between bounces")
     ap.add_argument("--bands", type=int, default=0,
                     help="render in N horizontal bands (0 = auto). Keeps "
                     "each device program short enough for remote-TPU "
                     "watchdogs while measuring the same total work.")
+    ap.add_argument("--no-baseline-write", action="store_true")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from pathtracer_tpu.utils.cache import enable as enable_cache
 
@@ -52,51 +66,49 @@ def main() -> int:
     from pathtracer_tpu.engine.wavefront import trace_sample
     from pathtracer_tpu.scene.builder import build_scene
     from pathtracer_tpu.scene.model import scene_to_device
+    from pathtracer_tpu.utils.logging import log, log_json
 
     cfg = PRESETS["bench"]
     if args.smoke:
         cfg = cfg.replace(width=128, height=128)
-    if args.width:
-        cfg = cfg.replace(width=args.width)
-    if args.height:
-        cfg = cfg.replace(height=args.height)
-    if args.depth:
-        cfg = cfg.replace(max_depth=args.depth)
-    if args.scene:
-        cfg = cfg.replace(scene=args.scene)
-    if args.backend:
-        cfg = cfg.replace(backend=args.backend)
+        args.budget = min(args.budget, 20.0)
+    for field, flag in [("width", "width"), ("height", "height"),
+                        ("max_depth", "depth"), ("scene", "scene"),
+                        ("backend", "backend"), ("spp", "spp")]:
+        v = getattr(args, flag)
+        if v is not None:
+            cfg = cfg.replace(**{field: v})
+    if args.compact:
+        cfg = cfg.replace(compact=True)
 
-    # Until the BVH lands, brute force over the mesh scene is infeasible;
-    # fall back to the analytic scene so the bench never crashes.
-    try:
-        from pathtracer_tpu.accel.build import build_bvh  # noqa: F401
-
-        have_bvh = True
-    except Exception:
-        have_bvh = False
-    if not have_bvh and cfg.scene != "cornell_spheres":
-        cfg = cfg.replace(scene="cornell_spheres", use_bvh=False)
+    from pathtracer_tpu.accel.build import with_bvh
+    from pathtracer_tpu.accel.clusters import with_clusters
 
     scene = build_scene(cfg.scene)
-    if cfg.use_bvh and have_bvh:
-        from pathtracer_tpu.accel.build import with_bvh
-
+    if cfg.use_bvh:
         scene = with_bvh(scene)
+    if cfg.backend == "cluster":
+        scene = with_clusters(scene)
     scene = scene_to_device(scene)
     dev = jax.devices()[0]
 
     # Band the image so each device program stays short (the remote-TPU
-    # watchdog kills multi-second programs); auto = <=128k pixels/band.
-    bands = args.bands or max(1, cfg.n_pixels // (128 * 1024))
+    # watchdog kills multi-second programs); auto = <=256k pixels/band.
+    bands = args.bands or max(1, cfg.n_pixels // (256 * 1024))
+    while cfg.n_pixels % bands:
+        bands -= 1
     band = cfg.n_pixels // bands
-    assert cfg.n_pixels % bands == 0, (cfg.n_pixels, bands)
+
+    from pathtracer_tpu.engine.camera import tiled_pixel_ids
 
     @jax.jit
     def run(geometry, materials, camera, lights, band_start):
         # iota INSIDE jit: a closed-over concrete index array would be
         # embedded as a huge HLO constant, which stalls the axon compile.
-        pixel_ids = band_start + jnp.arange(band, dtype=jnp.uint32)
+        # Tile-ordered pixel ids give the cluster intersector's per-block
+        # cull tight primary-ray frustums (ray blocks = pixel tiles, not
+        # 512-wide scanline strips).
+        pixel_ids = tiled_pixel_ids(band_start, band, cfg.width)
         return trace_sample(
             geometry, materials, camera, lights, cfg, pixel_ids,
             jnp.uint32(0), with_stats=True,
@@ -104,42 +116,65 @@ def main() -> int:
 
     sargs = (scene.geometry, scene.materials, scene.camera, scene.lights)
 
-    def full_frame():
-        """One full image; returns (last_radiance, total_rays)."""
-        total = 0
-        for b in range(bands):
-            radiance, n = run(*sargs, jnp.uint32(b * band))
-            total += int(n)  # int() is the host-fetch completion barrier
-        return radiance, total
-
-    # Warm-up / compile + exact useful-ray count.
-    radiance, n_rays = full_frame()
-
-    # Timing forces a host fetch each band: block_until_ready() returns
-    # early through the axon tunnel (verified), so fetching is the only
-    # reliable completion barrier.
-    iters = 3 if args.smoke else args.iters
+    # Warm-up: compile once (all bands share one shape/program) and get
+    # band 0's exact useful-ray count as a completion barrier.
     t0 = time.perf_counter()
-    for _ in range(iters):
-        radiance, _ = full_frame()
-    dt = (time.perf_counter() - t0) / iters
+    _, n0 = run(*sargs, jnp.uint32(0))
+    n0 = int(n0)
+    log("bench compiled", secs=round(time.perf_counter() - t0, 1),
+        bands=bands, cfg=cfg.scene, backend=cfg.backend)
 
-    rays_per_s = n_rays / dt
+    # Time-boxed measurement: cycle bands, time each, stop at budget.
+    total_rays = 0
+    total_secs = 0.0
+    measured = 0
+    deadline = time.perf_counter() + args.budget
+    while measured == 0 or (time.perf_counter() < deadline):
+        b = measured % bands
+        t0 = time.perf_counter()
+        _, n = run(*sargs, jnp.uint32(b * band))
+        n = int(n)  # host fetch = the only reliable completion barrier
+        total_secs += time.perf_counter() - t0
+        total_rays += n
+        measured += 1
+        if measured >= 10_000:
+            break
 
-    baseline_path = os.path.join(os.path.dirname(__file__) or ".",
-                                 ".bench_baseline.json")
+    rays_per_s = total_rays / max(total_secs, 1e-12)
+    frames = measured / bands
+    log("bench measured", bands=measured, frames=round(frames, 2),
+        secs=round(total_secs, 1), rays=total_rays)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    baseline_path = os.path.join(here, ".bench_baseline.json")
     vs_baseline = 1.0
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
         if base.get("value"):
             vs_baseline = rays_per_s / float(base["value"])
-    elif not args.smoke:
+    elif not args.smoke and not args.no_baseline_write:
         with open(baseline_path, "w") as f:
             json.dump(
                 {"value": rays_per_s, "unit": "rays/s/chip",
                  "device": str(dev), "cfg": cfg.to_json()}, f,
             )
+
+    # SURVEY.md §5.5 metrics schema row (appended, one per run).
+    if not args.smoke:
+        log_json(
+            os.path.join(here, "bench_metrics.jsonl"),
+            config=f"{cfg.scene} {cfg.width}x{cfg.height} {cfg.spp}spp "
+                   f"depth{cfg.max_depth} backend={cfg.backend} "
+                   f"compact={cfg.compact}",
+            chips=jax.device_count(),
+            hosts=jax.process_count(),
+            rays_per_s_per_chip=round(rays_per_s / jax.device_count(), 1),
+            scaling_eff=1.0 if jax.device_count() == 1 else None,
+            device=str(dev.device_kind),
+            measured_bands=measured,
+            frames=round(frames, 3),
+        )
 
     print(json.dumps({
         "metric": (

@@ -30,7 +30,8 @@ def _add_cfg_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--spp", type=int, default=None)
     p.add_argument("--depth", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--backend", default=None, choices=["jnp", "pallas"])
+    p.add_argument("--backend", default=None,
+                   choices=["jnp", "pallas", "cluster"])
     p.add_argument("--compact", action="store_true")
     p.add_argument("--no-bvh", action="store_true")
     p.add_argument("--config-json", default=None,
@@ -103,6 +104,10 @@ def _prepare_scene(cfg, args=None):
         )
     if cfg.use_bvh:
         scene = with_bvh(scene)
+    if cfg.backend == "cluster":
+        from .accel.clusters import with_clusters
+
+        scene = with_clusters(scene)
     return scene_to_device(scene)
 
 
@@ -203,12 +208,23 @@ def cmd_fit(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    """Forward all bench flags to bench.py (one source of truth)."""
     import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cmd = [sys.executable, os.path.join(root, "bench.py")]
     if args.smoke:
         cmd.append("--smoke")
+    for flag in ("scene", "width", "height", "backend", "spp"):
+        v = getattr(args, flag, None)
+        if v is not None:
+            cmd += [f"--{flag}", str(v)]
+    if getattr(args, "depth", None) is not None:
+        cmd += ["--depth", str(args.depth)]
+    if getattr(args, "budget", None) is not None:
+        cmd += ["--budget", str(args.budget)]
+    if getattr(args, "compact", False):
+        cmd.append("--compact")
     return subprocess.call(cmd)
 
 
@@ -240,6 +256,15 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.add_argument("--smoke", action="store_true")
+    pb.add_argument("--scene", default=None)
+    pb.add_argument("--width", type=int, default=None)
+    pb.add_argument("--height", type=int, default=None)
+    pb.add_argument("--depth", type=int, default=None)
+    pb.add_argument("--spp", type=int, default=None)
+    pb.add_argument("--backend", default=None,
+                    choices=["jnp", "pallas", "cluster"])
+    pb.add_argument("--budget", type=float, default=None)
+    pb.add_argument("--compact", action="store_true")
     pb.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

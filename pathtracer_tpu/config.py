@@ -37,7 +37,9 @@ class RenderConfig:
       spp_chunk: samples accumulated per jit step; bounds live memory for
         arbitrarily large spp (SURVEY.md §5.7). 0 means all spp in one pass.
       use_bvh: traverse the flat BVH (vs brute-force all triangles).
-      backend: "jnp" (pure-JAX traversal) or "pallas" (Pallas kernel).
+      backend: "cluster" (dense MXU cluster intersector — the fast TPU
+        path, ops/intersect_cluster.py), "jnp" (pure-JAX BVH traversal),
+        or "pallas" (packet traversal kernel).
       compact: stream-compact the active-ray buffer between bounces.
     """
 

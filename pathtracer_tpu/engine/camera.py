@@ -12,6 +12,36 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def tiled_pixel_ids(band_start, n: int, width: int, tile_w: int = 32,
+                    tile_h: int = 16):
+    """Pixel ids of a row-major band, reordered so consecutive rays form
+    (tile_w x tile_h) screen tiles.
+
+    The dense cluster intersector culls per 512-ray block
+    (ops/intersect_cluster.py); with row-major order a block is a
+    512-pixel scanline strip whose primary-ray frustum spans the whole
+    image width, so the cull barely bites. In tile order a block is one
+    compact 32x16 tile — a narrow frustum that skips most clusters.
+    Closed-form bijection (no sort, no host constants); falls back to
+    arange when the band is not tile-aligned. band_start must be a
+    row-aligned multiple of width*tile_h for the mapping to tile the band.
+    """
+    if width % tile_w or n % (width * tile_h):
+        return band_start + jnp.arange(n, dtype=jnp.uint32)
+    j = jnp.arange(n, dtype=jnp.uint32)
+    per_tile = tile_w * tile_h
+    tiles_per_row = width // tile_w
+    tile_id = j // per_tile
+    within = j - tile_id * per_tile
+    v = within // tile_w
+    u = within - v * tile_w
+    ty = tile_id // tiles_per_row
+    tx = tile_id - ty * tiles_per_row
+    y = ty * tile_h + v
+    x = tx * tile_w + u
+    return band_start + y * width + x
+
+
 def camera_rays(camera, width: int, height: int, jitter, pixel_ids):
     """Rays for the given absolute pixel ids (row-major y*width+x).
 

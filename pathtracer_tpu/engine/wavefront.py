@@ -57,7 +57,22 @@ from .shading import (
 
 
 def _intersector(geom, cfg: RenderConfig):
-    """Pick the closest-hit implementation for this scene/config."""
+    """Pick the closest-hit implementation for this scene/config.
+
+    backend="cluster" (default for TPU perf, VERDICT.md round-2 item 3)
+    is the dense MXU intersector over 128-triangle clusters
+    (ops/intersect_cluster.py); it needs cluster tables on the Geometry
+    (accel/clusters.py:with_clusters) and a table that fits VMEM, else it
+    falls through to the jnp BVH walk.
+    """
+    if cfg.backend == "cluster" and geom.cl_lo.shape[0] > 0:
+        from ..ops.intersect_cluster import closest_hit_cluster, fits_vmem
+
+        if fits_vmem(int(geom.cl_lo.shape[0])):
+            def hit(g, o, d):
+                return closest_hit_cluster(g, o, d)
+
+            return hit
     has_bvh = geom.bvh_lo.shape[0] > 0
     if cfg.use_bvh and has_bvh:
         if cfg.backend == "pallas":

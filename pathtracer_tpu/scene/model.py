@@ -75,6 +75,16 @@ class Geometry:
     # of it keeps the optimizer pytrees purely float (SURVEY.md §7 part 3).
     mat_type: jax.Array  # (M,) i32
     mat_ior: jax.Array  # (M,) f32 (used when mat_type == MAT_REFR)
+    # Cluster tables for the dense MXU intersector (accel/clusters.py,
+    # ops/intersect_cluster.py): triangles grouped into 128-wide padded
+    # clusters with one AABB each. `cl_feat` holds the Plücker-style
+    # per-triangle feature columns consumed by the Pallas kernel's matmul;
+    # `cl_map` maps padded cluster slots back to original triangle indices
+    # (-1 for padding). Empty (0-length) arrays mean "no clusters built".
+    cl_lo: jax.Array  # (C, 3) f32 cluster AABB min
+    cl_hi: jax.Array  # (C, 3) f32 cluster AABB max
+    cl_feat: jax.Array  # (16, C*512) f32 feature columns (4 quantities x 128)
+    cl_map: jax.Array  # (C*128,) i32 padded slot -> original tri index
 
 
 @_pytree_dataclass
@@ -175,6 +185,10 @@ def make_geometry(
         bvh_skip=empty1i,
         mat_type=np.asarray(mat_type, np.int32).reshape(-1),
         mat_ior=np.asarray(mat_ior, np.float32).reshape(-1),
+        cl_lo=empty3,
+        cl_hi=empty3,
+        cl_feat=np.zeros((16, 0), np.float32),
+        cl_map=empty1i,
     )
 
 
