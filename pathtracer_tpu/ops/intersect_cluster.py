@@ -84,6 +84,9 @@ def _cluster_kernel(mask_ref, rayf_ref, feat_ref, t_ref, idx_ref, *,
     RB = rayf_ref.shape[1]
     rayf = rayf_ref[:, :]  # (16, RB)
     mask_row = pl.program_id(0) % 8
+    # bf16 hi/lo split of the ray features (see the matmul note below).
+    rayf_hi = rayf.astype(jnp.bfloat16)
+    rayf_lo = (rayf - rayf_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def visit(k, carry):
         t_best, best = carry  # (1, RB) f32, (1, RB) i32
@@ -93,15 +96,27 @@ def _cluster_kernel(mask_ref, rayf_ref, feat_ref, t_ref, idx_ref, *,
             col0 = pl.multiple_of(k * CLUSTER_COLS, CLUSTER_COLS)
             blk = feat_ref[:, pl.ds(col0, CLUSTER_COLS)]  # (16, 512)
             # (512, RB) = sum_f blk[f, tq] * rayf[f, r] on the MXU.
-            # precision=HIGHEST: the MXU's default f32 matmul rounds
-            # multiplicands to bf16, which flips near-edge hit predicates
-            # (~2% of rays wrong vs brute — verified on v5e). HIGHEST
-            # selects the multi-pass f32 decomposition; the matmul is not
-            # the bottleneck (the VPU epilogue is), so this is ~free.
-            q = jax.lax.dot_general(
-                blk, rayf, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            # Near-f32 matmul from three native bf16 MXU passes. The
+            # MXU's single-pass f32 dot rounds multiplicands to bf16,
+            # which flips near-edge hit predicates (~2% of rays wrong vs
+            # brute — verified on v5e), and Precision.HIGHEST sent the
+            # remote Mosaic compile into a >20-minute stall. The manual
+            # hi/lo error split keeps the known-fast lowering:
+            #   x*y ~= hi(x)hi(y) + hi(x)lo(y) + lo(x)hi(y),
+            # dropping only the ~2^-18-relative lo*lo term.
+            b_hi = blk.astype(jnp.bfloat16)
+            b_lo = (blk - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((0,), (0,)), ((), ()))
+            q = (
+                jax.lax.dot_general(
+                    b_hi, rayf_hi, dims,
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    b_hi, rayf_lo, dims,
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    b_lo, rayf_hi, dims,
+                    preferred_element_type=jnp.float32)
             )
             n = CLUSTER_TRIS
             det = q[0 * n:1 * n, :]

@@ -25,13 +25,24 @@ toward one light) visit a small union of nodes; incoherent bounce batches
 degrade toward visiting every node, which the engine counters by sorting
 rays (engine-level, SURVEY.md §7 hard part 1/2).
 
-Tables live in VMEM, replicated per grid step → this variant targets
-scenes whose node/tri tables fit VMEM (~<=100k tris); larger scenes use
-the jnp traversal whose XLA gathers stream from HBM.
+Mosaic alignment (round-2 fix, VERDICT.md item 2): lane-dimension dynamic
+slices must be 128-aligned — the round-1 `bounds_ref[:, pl.ds(cursor, 1)]`
+column load failed to compile on the v5e ("cannot statically prove that
+index in dimension 1 is a multiple of 128"). Node/triangle fetches now
+load the 128-aligned block containing the target column and reduce it out
+with a one-hot lane select (4 cheap VPU ops); node metadata
+(first/count/skip) lives in SMEM where dynamic scalar reads are native.
+
+Tables live in VMEM (+ meta in SMEM), replicated per grid step → this
+variant targets scenes whose tables fit on-chip (~<=100k tris); larger
+scenes use the jnp traversal whose XLA gathers stream from HBM, and the
+fast path for everything is the dense cluster kernel
+(ops/intersect_cluster.py), which this packet kernel predates.
 
 Semantics match accel/traverse.py exactly (same MT predicate, same visit
 order = same tie-breaks); asserted in tests/unit/test_pallas.py in
-interpret mode and compiled on TPU via scripts/tpu_checks.py.
+interpret mode and compiled on TPU via scripts/tpu_checks.py (PASS log:
+TPU_CHECKS.md).
 """
 
 from __future__ import annotations
@@ -50,12 +61,26 @@ from ..engine import intersect as isect
 RAY_BLOCK = 512  # rays per grid step; smaller blocks = more coherence
 
 
-def _traverse_kernel(bounds_ref, meta_ref, tris_ref, rays_ref, t_ref,
+def _aligned_column(ref, col, rows: int):
+    """Fetch `ref[:, col]` as (rows, 1) with Mosaic-legal addressing.
+
+    Lane-dim dynamic slices must be 128-aligned, so load the aligned
+    128-wide block containing `col` and reduce it out with a one-hot
+    lane select.
+    """
+    base = pl.multiple_of((col // 128) * 128, 128)
+    blk = ref[:, pl.ds(base, 128)]  # (rows, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    onehot = lane == (col - base)
+    return jnp.sum(jnp.where(onehot, blk, 0), axis=1, keepdims=True)
+
+
+def _traverse_kernel(meta_ref, bounds_ref, tris_ref, rays_ref, t_ref,
                      idx_ref, *, n_nodes, max_leaf):
     """Kernel body (one grid step = one ray block).
 
+    meta_ref:   (3, N) i32 SMEM — rows [first count skip]
     bounds_ref: (8, N) f32 — rows [lox loy loz hix hiy hiz pad pad]
-    meta_ref:   (8, N) i32 — rows [first count skip pad*5]
     tris_ref:   (16, T) f32 — rows [v0(3) e1(3) e2(3) pad*7]
     rays_ref:   (8, R) f32 — rows [o(3) d(3) pad pad]
     t_ref:      (8, R) f32 out — row 0 = closest t (T_FAR miss)
@@ -74,7 +99,7 @@ def _traverse_kernel(bounds_ref, meta_ref, tris_ref, rays_ref, t_ref,
 
     def body(state):
         cursor, t_best, best = state  # scalar, (R,), (R,)
-        node = bounds_ref[:, pl.ds(cursor, 1)]  # (8, 1) scalar column
+        node = _aligned_column(bounds_ref, cursor, 8)  # (8, 1)
         lo = node[0:3, :]  # (3, 1) broadcasts against (3, R)
         hi = node[3:6, :]
         first = meta_ref[0, cursor]
@@ -85,35 +110,43 @@ def _traverse_kernel(bounds_ref, meta_ref, tris_ref, rays_ref, t_ref,
         t1 = (hi - o) * inv_d
         tlo = jnp.minimum(t0, t1)
         thi = jnp.maximum(t0, t1)
-        tnear = jnp.maximum(jnp.maximum(tlo[0], tlo[1]), tlo[2])  # (R,)
-        tfar = jnp.minimum(jnp.minimum(thi[0], thi[1]), thi[2])
+        # Keep everything 2-D ((1, R) rows): Mosaic prefers rank-2 vregs.
+        tnear = jnp.maximum(
+            jnp.maximum(tlo[0:1, :], tlo[1:2, :]), tlo[2:3, :]
+        )  # (1, R)
+        tfar = jnp.minimum(
+            jnp.minimum(thi[0:1, :], thi[1:2, :]), thi[2:3, :]
+        )
         hit_box = (tfar >= jnp.maximum(tnear, C.T_MIN)) & (tnear < t_best)
         any_hit = jnp.any(hit_box)
         is_leaf = count > 0
+
+        d0, d1, d2 = d[0:1, :], d[1:2, :], d[2:3, :]  # (1, R)
+        o0, o1, o2 = o[0:1, :], o[1:2, :], o[2:3, :]
 
         def do_leaf(args):
             t_best, best = args
             for k in range(max_leaf):
                 tri_idx = jnp.minimum(first + k, tris_ref.shape[1] - 1)
-                tr = tris_ref[:, pl.ds(tri_idx, 1)]  # (16, 1)
-                v0 = tr[0:3, :]
-                e1x, e1y, e1z = tr[3, 0], tr[4, 0], tr[5, 0]
-                e2x, e2y, e2z = tr[6, 0], tr[7, 0], tr[8, 0]
-                # pvec = d × e2 (e2 scalar-broadcast over lanes)
-                pv0 = d[1] * e2z - d[2] * e2y
-                pv1 = d[2] * e2x - d[0] * e2z
-                pv2 = d[0] * e2y - d[1] * e2x
+                tr = _aligned_column(tris_ref, tri_idx, 16)  # (16, 1)
+                # (1, 1) slices broadcast against the (1, R) ray rows.
+                e1x, e1y, e1z = tr[3:4, :], tr[4:5, :], tr[5:6, :]
+                e2x, e2y, e2z = tr[6:7, :], tr[7:8, :], tr[8:9, :]
+                # pvec = d × e2 (e2 broadcast over lanes)
+                pv0 = d1 * e2z - d2 * e2y
+                pv1 = d2 * e2x - d0 * e2z
+                pv2 = d0 * e2y - d1 * e2x
                 det = e1x * pv0 + e1y * pv1 + e1z * pv2
                 safe = jnp.where(det == 0, 1.0, det)
                 inv = jnp.where(jnp.abs(det) > C.DET_EPS, 1.0 / safe, 0.0)
-                tv0 = o[0] - v0[0, 0]
-                tv1 = o[1] - v0[1, 0]
-                tv2 = o[2] - v0[2, 0]
+                tv0 = o0 - tr[0:1, :]
+                tv1 = o1 - tr[1:2, :]
+                tv2 = o2 - tr[2:3, :]
                 uu = (tv0 * pv0 + tv1 * pv1 + tv2 * pv2) * inv
                 qv0 = tv1 * e1z - tv2 * e1y
                 qv1 = tv2 * e1x - tv0 * e1z
                 qv2 = tv0 * e1y - tv1 * e1x
-                vv = (d[0] * qv0 + d[1] * qv1 + d[2] * qv2) * inv
+                vv = (d0 * qv0 + d1 * qv1 + d2 * qv2) * inv
                 t = (e2x * qv0 + e2y * qv1 + e2z * qv2) * inv
                 ok = (
                     hit_box
@@ -138,12 +171,12 @@ def _traverse_kernel(bounds_ref, meta_ref, tris_ref, rays_ref, t_ref,
 
     init = (
         jnp.int32(0),
-        jnp.full((R,), C.T_FAR, jnp.float32),
-        jnp.full((R,), -1, jnp.int32),
+        jnp.full((1, R), C.T_FAR, jnp.float32),
+        jnp.full((1, R), -1, jnp.int32),
     )
     _, t_best, best = jax.lax.while_loop(cond, body, init)
-    t_ref[:, :] = jnp.broadcast_to(t_best[None, :], (8, R))
-    idx_ref[:, :] = jnp.broadcast_to(best[None, :], (8, R))
+    t_ref[:, :] = jnp.broadcast_to(t_best, (8, R))
+    idx_ref[:, :] = jnp.broadcast_to(best, (8, R))
 
 
 def _pack_tables(geom):
@@ -155,7 +188,8 @@ def _pack_tables(geom):
     bounds = jnp.zeros((8, n_pad), jnp.float32)
     bounds = bounds.at[0:3, :n].set(jnp.asarray(geom.bvh_lo).T)
     bounds = bounds.at[3:6, :n].set(jnp.asarray(geom.bvh_hi).T)
-    meta = jnp.zeros((8, n_pad), jnp.int32)
+    # meta rows [first count skip] — (3, N) i32 for SMEM scalar reads.
+    meta = jnp.zeros((3, n_pad), jnp.int32)
     meta = meta.at[0, :n].set(jnp.asarray(geom.bvh_first))
     meta = meta.at[1, :n].set(jnp.asarray(geom.bvh_count))
     meta = meta.at[2, :n].set(jnp.asarray(geom.bvh_skip))
@@ -216,9 +250,9 @@ def _traverse_impl(bounds, meta, tris, rays, n_nodes, max_leaf, interpret):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(bounds.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(meta.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(bounds.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tris.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -236,7 +270,7 @@ def _traverse_impl(bounds, meta, tris, rays, n_nodes, max_leaf, interpret):
             jax.ShapeDtypeStruct((8, R), jnp.int32),
         ],
         interpret=interpret,
-    )(bounds, meta, tris, rays)
+    )(meta, bounds, tris, rays)
     return t_out[0], idx_out[0]
 
 

@@ -2,13 +2,16 @@
 
 CI runs everything on the CPU backend (tests/conftest.py); this script is
 the real-hardware counterpart — run it whenever kernels or the engine
-change and a TPU is attached:
+change and a TPU is attached, and commit its output (VERDICT.md round-1
+item 6: the round-1 Pallas regression shipped because this was not re-run
+at HEAD):
 
-    python scripts/tpu_checks.py [--full]
+    python scripts/tpu_checks.py [--full] | tee TPU_CHECKS.md
 
-Checks: Pallas traversal (Mosaic-compiled) == jnp traversal == brute on
-random rays; engine render on TPU == CPU oracle allclose (config 1); a
-mesh render completes and matches the jnp backend.
+Checks: [0] dense cluster kernel (Mosaic-compiled) == brute force;
+[1] Pallas packet traversal (Mosaic-compiled) == jnp traversal;
+[2] engine render on TPU == CPU oracle allclose (config 1); with --full,
+[3] a mesh render with the cluster backend matches the jnp backend.
 """
 
 from __future__ import annotations
@@ -35,16 +38,22 @@ def main() -> int:
     enable()
     assert jax.default_backend() == "tpu", jax.default_backend()
     from pathtracer_tpu.accel.build import with_bvh
+    from pathtracer_tpu.accel.clusters import with_clusters
     from pathtracer_tpu.accel.traverse import closest_hit
     from pathtracer_tpu.config import PRESETS
+    from pathtracer_tpu.engine import intersect as isect
     from pathtracer_tpu.engine import wavefront
+    from pathtracer_tpu.ops.intersect_cluster import closest_hit_cluster
     from pathtracer_tpu.ops.traverse_pallas import closest_hit_pallas
     from pathtracer_tpu.scene import builder
     from pathtracer_tpu.scene.model import scene_to_device
 
     ok = True
+    print(f"device: {jax.devices()[0].device_kind}  "
+          f"date: {time.strftime('%Y-%m-%d %H:%M')}  "
+          f"HEAD: {os.popen('git rev-parse --short HEAD').read().strip()}")
 
-    scene = scene_to_device(with_bvh(builder.cornell_mesh()))
+    scene = scene_to_device(with_clusters(with_bvh(builder.cornell_mesh())))
     g = scene.geometry
     rng = np.random.default_rng(0)
     n = 4096
@@ -53,9 +62,23 @@ def main() -> int:
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
 
     t0 = time.time()
+    t_c, _, m_c = closest_hit_cluster(g, o, d)
+    t_c = np.asarray(t_c)
+    print(f"[0] cluster kernel compiled+ran in {time.time()-t0:.1f}s")
+    t_b, _, m_b = isect.brute(g, o, d)
+    t_b = np.asarray(t_b)
+    hit_same = ((t_b < 5e7) == (t_c < 5e7)).mean()
+    hit = (t_b < 5e7) & (t_c < 5e7)
+    dt99 = float(np.quantile(np.abs(t_b - t_c)[hit], 0.99))
+    mat_same = float((np.asarray(m_c) == np.asarray(m_b)).mean())
+    print(f"    vs brute: hit agree {hit_same:.4f}, |dt| q99 {dt99:.2e}, "
+          f"mats agree {mat_same:.4f}")
+    ok &= bool(hit_same > 0.999 and dt99 < 1e-4 and mat_same > 0.999)
+
+    t0 = time.time()
     t_p, _, m_p = closest_hit_pallas(g, o, d)
     t_p = np.asarray(t_p)
-    print(f"[1] pallas compiled+ran in {time.time()-t0:.1f}s")
+    print(f"[1] packet kernel compiled+ran in {time.time()-t0:.1f}s")
     t_j, _, m_j = closest_hit(g, o, d)
     dt = np.abs(t_p - np.asarray(t_j)).max()
     same_m = (np.asarray(m_p) == np.asarray(m_j)).all()
@@ -75,12 +98,12 @@ def main() -> int:
     if args.full:
         cfg_m = PRESETS["config2"].replace(width=128, height=128)
         img_j = np.asarray(wavefront.render(scene, cfg_m))
-        img_p = np.asarray(
-            wavefront.render(scene, cfg_m.replace(backend="pallas"))
+        img_c = np.asarray(
+            wavefront.render(scene, cfg_m.replace(backend="cluster"))
         )
-        dmax = np.abs(img_j - img_p).max()
-        print(f"[3] engine jnp vs pallas backend: max diff {dmax:.2e}")
-        ok &= bool(dmax < 1e-4)
+        dmax = np.abs(img_j - img_c).max()
+        print(f"[3] engine jnp vs cluster backend: max diff {dmax:.2e}")
+        ok &= bool(dmax < 5e-3)
 
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1

