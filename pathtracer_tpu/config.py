@@ -41,6 +41,11 @@ class RenderConfig:
         path, ops/intersect_cluster.py), "jnp" (pure-JAX BVH traversal),
         or "pallas" (packet traversal kernel).
       compact: stream-compact the active-ray buffer between bounces.
+      mis: multiple importance sampling (power heuristic) between NEE and
+        cosine-BSDF sampling at diffuse vertices (SURVEY.md §3.1
+        "+MIS/NEE bookkeeping"). Off by default: the base estimator is
+        the reference's NEE-only accounting; MIS lowers variance on
+        scenes where BSDF sampling competes (large/near lights).
     """
 
     width: int = 256
@@ -54,6 +59,7 @@ class RenderConfig:
     use_bvh: bool = True
     backend: str = "jnp"
     compact: bool = False
+    mis: bool = False
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

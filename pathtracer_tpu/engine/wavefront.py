@@ -147,6 +147,10 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
     # such hits see emission directly; diffuse-scattered hits rely on NEE
     # (oracle/tracer.py spec_chain — same no-double-counting rule).
     spec_chain = jnp.ones((N,), bool)
+    # Solid-angle pdf of the previous diffuse scatter (cos/pi); 0 for the
+    # camera ray and delta lobes. MIS bookkeeping (mirrors oracle).
+    prev_pdf = jnp.zeros((N,), jnp.float32)
+    total_area = lights.total_area
     n_rays = jnp.int32(0)
     # Original buffer slot of each ray (for unscrambling after compaction).
     slot = jnp.arange(N, dtype=jnp.int32)
@@ -173,10 +177,33 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
         )
 
         cos_in = -jnp.sum(n_geom * d, -1)
-        prim = alive & hit & (cos_in > 0.0) & spec_chain
-        radiance = radiance + jnp.where(
-            prim[:, None], throughput * emission[mat], 0.0
-        )
+        if cfg.mis and n_lights > 0:
+            # MIS: every front-face emissive hit counts; diffuse-reached
+            # ones carry the power-heuristic weight vs the NEE pdf of the
+            # same light point (oracle/tracer.py lockstep). Weights are
+            # sampling bookkeeping — detached from gradients.
+            # Miss lanes carry t == T_FAR whose square overflows f32;
+            # their weight is never used (prim requires a hit).
+            t_eff = jnp.where(hit, t, 1.0)
+            p_nee = (t_eff * t_eff) / jnp.maximum(
+                cos_in * total_area, 1e-12
+            )
+            w_b = (prev_pdf * prev_pdf) / jnp.maximum(
+                prev_pdf * prev_pdf + p_nee * p_nee, 1e-20
+            )
+            w_emit = jax.lax.stop_gradient(
+                jnp.where(spec_chain, 1.0, w_b)
+            )
+            prim = alive & hit & (cos_in > 0.0)
+            radiance = radiance + jnp.where(
+                prim[:, None],
+                throughput * emission[mat] * w_emit[:, None], 0.0,
+            )
+        else:
+            prim = alive & hit & (cos_in > 0.0) & spec_chain
+            radiance = radiance + jnp.where(
+                prim[:, None], throughput * emission[mat], 0.0
+            )
 
         alive = alive & hit
         p = o + t[:, None] * d
@@ -205,6 +232,17 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
                 cos_s * cos_l * lights.total_area
                 / jnp.maximum(dist * dist, 1e-12)
             )
+            if cfg.mis and bounce + 1 < cfg.max_depth:
+                # Power heuristic vs the cosine-BSDF pdf; the last vertex
+                # keeps w=1 (BSDF counterpart truncated by max_depth).
+                p_l = (dist * dist) / jnp.maximum(
+                    cos_l * total_area, 1e-12
+                )
+                p_b = cos_s / jnp.pi
+                w_nee = (p_l * p_l) / jnp.maximum(
+                    p_l * p_l + p_b * p_b, 1e-20
+                )
+                geo_term = geo_term * w_nee
             contrib = (
                 throughput
                 * (albedo[mat] / jnp.pi)
@@ -250,6 +288,11 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
         o = p + n_shade * off[:, None]
         d = new_d
         spec_chain = ~is_diff
+        prev_pdf = jnp.where(
+            is_diff,
+            jnp.maximum(jnp.sum(n_shade * d, -1), 0.0) / jnp.pi,
+            0.0,
+        )
 
         # --- Russian roulette ------------------------------------------
         if bounce >= cfg.rr_start:
@@ -274,6 +317,7 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
             )
             alive = alive[perm]
             spec_chain = spec_chain[perm]
+            prev_pdf = prev_pdf[perm]
 
     if cfg.compact and cfg.max_depth > 1:
         # Unscramble back to the caller's ray order (exact permutation).

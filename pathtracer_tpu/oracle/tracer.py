@@ -33,7 +33,19 @@ Estimator (shared contract, see also engine/wavefront.py):
     contribution T * albedo/pi * Le * cos_s * cos_l * A_total / d^2 when
     both cosines are positive and the shadow ray is unoccluded;
   * Russian roulette from bounce index `rr_start`, continuation probability
-    clamp(max(throughput), RR_CLAMP_LO, RR_CLAMP_HI).
+    clamp(max(throughput), RR_CLAMP_LO, RR_CLAMP_HI);
+  * optional MIS (cfg.mis, SURVEY.md §3.1 "+MIS/NEE bookkeeping"): at
+    diffuse vertices BOTH strategies estimate direct light — the NEE
+    sample weighted by the power heuristic against the cosine-BSDF pdf,
+    and an emissive hit reached via a diffuse scatter weighted by the
+    power heuristic against the NEE pdf of that same light point
+    (solid-angle pdf d^2 / (cos_l * A_total)). Weights sum to 1 per
+    transport term, so the estimator stays unbiased; the last path vertex
+    keeps full NEE weight because its BSDF-hit counterpart is truncated
+    by max_depth. Delta (SPEC/REFR) chains keep weight 1 — NEE cannot
+    sample through them. Limitation: emissive *spheres* are not in the
+    NEE light table, so MIS weighting assumes triangle lights (true for
+    every builtin scene).
 """
 
 from __future__ import annotations
@@ -248,9 +260,14 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
     # refractive) or this is the camera ray: such hits see emission
     # directly, because NEE cannot sample through a delta lobe. Diffuse
     # scatters switch it off for the next hit (their direct light arrives
-    # via NEE alone — no double counting), but a later delta scatter
-    # switches it back on, so mirror/glass images of lights survive.
+    # via NEE alone — or, with cfg.mis, via the power-heuristic-weighted
+    # pair of strategies), but a later delta scatter switches it back on,
+    # so mirror/glass images of lights survive.
     spec_chain = np.ones((N,), bool)
+    # Solid-angle pdf of the previous diffuse scatter (cos/pi); 0 when the
+    # previous event was the camera or a delta lobe. MIS bookkeeping only.
+    prev_pdf = np.zeros((N,), np.float32)
+    total_area = float(np.asarray(scene.lights.total_area))
 
     for bounce in range(cfg.max_depth):
         U = _np_uniforms(
@@ -267,8 +284,25 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
         # emission directly; hits reached via a diffuse scatter get their
         # direct light from NEE instead (no double counting).
         cos_in = -(n_geom * d).sum(-1)  # dot(n_geom, -d)
-        prim = alive & hit & (cos_in > 0.0) & spec_chain
-        radiance[prim] += throughput[prim] * emission[mat[prim]]
+        if cfg.mis and n_lights > 0:
+            # Emissive hits count on every front-face hit; those reached
+            # via a diffuse scatter carry the power-heuristic weight
+            # against the NEE pdf of the same light point.
+            # Miss lanes carry t == T_FAR whose square overflows f32;
+            # their weight is never used (prim requires a hit).
+            t_eff = np.where(hit, t, 1.0)
+            p_nee = (t_eff * t_eff) / np.maximum(cos_in * total_area, 1e-12)
+            w_b = (prev_pdf * prev_pdf) / np.maximum(
+                prev_pdf * prev_pdf + p_nee * p_nee, 1e-20
+            )
+            w_emit = np.where(spec_chain, 1.0, w_b).astype(np.float32)
+            prim = alive & hit & (cos_in > 0.0)
+            radiance[prim] += (
+                throughput[prim] * emission[mat[prim]] * w_emit[prim, None]
+            )
+        else:
+            prim = alive & hit & (cos_in > 0.0) & spec_chain
+            radiance[prim] += throughput[prim] * emission[mat[prim]]
 
         alive = alive & hit
         if not alive.any():
@@ -297,12 +331,27 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
             if cand.any():
                 t_sh, _, _ = intersect_closest(geom, o_sh[cand], wi[cand])
                 vis = t_sh >= dist[cand] * (1.0 - C.SHADOW_REL_EPS)
+                if cfg.mis and bounce + 1 < cfg.max_depth:
+                    # Power heuristic vs the cosine-BSDF pdf of wi; the
+                    # LAST vertex keeps w=1 (its BSDF-hit counterpart is
+                    # truncated by max_depth — weight 1 keeps the
+                    # estimator unbiased at finite depth).
+                    p_l = (dist**2) / np.maximum(
+                        cos_l * total_area, 1e-12
+                    )
+                    p_b = cos_s / np.pi
+                    w_nee = (p_l * p_l) / np.maximum(
+                        p_l * p_l + p_b * p_b, 1e-20
+                    )
+                else:
+                    w_nee = np.ones_like(dist)
                 contrib = (
                     throughput[cand]
                     * (albedo[mat[cand]] / np.pi)
                     * emission[mat_l[cand]]
                     * (
-                        cos_s[cand]
+                        w_nee[cand]
+                        * cos_s[cand]
                         * cos_l[cand]
                         * float(scene.lights.total_area)
                         / np.maximum(dist[cand] ** 2, 1e-12)
@@ -353,6 +402,12 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
         o = (p + n_shade * off[:, None]).astype(np.float32)
         d = new_d
         spec_chain = ~is_diff
+        # MIS bookkeeping: solid-angle pdf of the diffuse scatter.
+        prev_pdf = np.where(
+            is_diff,
+            np.maximum((n_shade * d).sum(-1), 0.0) / np.pi,
+            0.0,
+        ).astype(np.float32)
 
         # --- Russian roulette -----------------------------------------
         if bounce >= cfg.rr_start:

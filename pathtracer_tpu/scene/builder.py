@@ -289,9 +289,59 @@ def big_mesh(n_target: int = 2_000_000, background=(0.0, 0.0, 0.0)) -> Scene:
     )
 
 
+def cornell_biglight(background=(0.0, 0.0, 0.0)) -> Scene:
+    """Cornell spheres variant with a near-ceiling-sized area light.
+
+    The MIS demonstration scene (SURVEY.md §3.1 "+MIS/NEE bookkeeping"):
+    with a large, close light, uniform-by-area NEE samples mostly arrive
+    at grazing/far points (high variance) while cosine-BSDF directions
+    hit the light often — exactly the regime where the power heuristic
+    pays. Emission is scaled down by the area ratio so total light power
+    matches cornell_spheres.
+    """
+    quads = [
+        (_quad([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0]), WHITE),
+        (_quad([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1]), WHITE),
+        (_quad([0, 0, 1], [0, 1, 1], [1, 1, 1], [1, 0, 1]), WHITE),
+        (_quad([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1]), RED),
+        (_quad([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0]), GREEN),
+        (
+            _quad(
+                [0.05, 0.9995, 0.05],
+                [0.95, 0.9995, 0.05],
+                [0.95, 0.9995, 0.95],
+                [0.05, 0.9995, 0.95],
+            ),
+            LIGHT,
+        ),
+    ]
+    tris = np.concatenate([q for q, _ in quads])
+    mats = np.concatenate([np.full(len(q), m, np.int32) for q, m in quads])
+    geom = make_geometry(
+        tris,
+        mats,
+        sph_c=np.array([[0.3, 0.18, 0.45], [0.72, 0.14, 0.65]], np.float32),
+        sph_r=np.array([0.18, 0.14], np.float32),
+        sph_mat=np.array([SPHERE_A, SPHERE_B], np.int32),
+    )
+    materials = default_materials()
+    import dataclasses
+
+    emission = np.asarray(materials.emission).copy()
+    emission[LIGHT] = emission[LIGHT] * (0.35**2 / 0.9**2)
+    materials = dataclasses.replace(materials, emission=emission)
+    return Scene(
+        geometry=geom,
+        materials=materials,
+        camera=default_camera(),
+        lights=make_lights(geom, materials, background),
+    )
+
+
 _BUILDERS = {
     "cornell_spheres": cornell_spheres,
     "cornell_specular": cornell_specular,
+    "cornell_biglight": cornell_biglight,
     "cornell_mesh": cornell_mesh,
     "big_mesh": big_mesh,
 }
