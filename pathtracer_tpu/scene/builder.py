@@ -221,6 +221,27 @@ def _place_mesh(tri: np.ndarray, scale: float, center) -> np.ndarray:
     return tri + offset
 
 
+def _bunny_asset() -> np.ndarray:
+    """The committed bunny OBJ via the loader; procedural fallback.
+
+    assets/bunny.obj is the procedural bunny written out bit-exactly
+    (scripts/make_assets.py), so the two paths produce identical
+    geometry — but the default benchmark scene exercises the real
+    loader -> accel -> render chain like the reference's asset path
+    (SURVEY.md §2.1 R8).
+    """
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "assets", "bunny.obj"
+    )
+    if os.path.exists(path):
+        from .obj import load_obj
+
+        return load_obj(path)
+    return procedural_bunny(4)
+
+
 def cornell_mesh(
     background=(0.0, 0.0, 0.0), mesh_tris: np.ndarray | None = None
 ) -> Scene:
@@ -230,7 +251,7 @@ def cornell_mesh(
     """
     walls, wall_mats = _cornell_walls()
     if mesh_tris is None:
-        mesh_tris = procedural_bunny(4)
+        mesh_tris = _bunny_asset()
     mesh_tris = _place_mesh(mesh_tris, 0.22, [0.5, 0.0, 0.55])
     tris = np.concatenate([walls, mesh_tris])
     mats = np.concatenate(

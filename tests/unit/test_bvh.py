@@ -173,3 +173,20 @@ def test_native_builder_big_input_fast():
     dt = time.time() - t0
     assert dt < 5.0, dt
     assert len(bvh.order) == len(tri)
+
+
+def test_bunny_asset_roundtrip_exact():
+    """The committed assets/bunny.obj loads bit-identical to the
+    procedural bunny, so the asset-backed benchmark scene preserves
+    goldens (scripts/make_assets.py contract)."""
+    import os
+
+    import numpy as np
+
+    from pathtracer_tpu.scene.builder import _bunny_asset, procedural_bunny
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    asset = os.path.join(here, "assets", "bunny.obj")
+    assert os.path.exists(asset), "committed bunny.obj missing"
+    assert np.array_equal(_bunny_asset(), procedural_bunny(4))
