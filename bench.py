@@ -87,7 +87,7 @@ def main() -> int:
     scene = build_scene(cfg.scene)
     if cfg.use_bvh:
         scene = with_bvh(scene)
-    if cfg.backend == "cluster":
+    if cfg.backend in ("cluster", "stream"):
         scene = with_clusters(scene)
     scene = scene_to_device(scene)
     dev = jax.devices()[0]

@@ -104,7 +104,7 @@ def _prepare_scene(cfg, args=None):
         )
     if cfg.use_bvh:
         scene = with_bvh(scene)
-    if cfg.backend == "cluster":
+    if cfg.backend in ("cluster", "stream"):
         from .accel.clusters import with_clusters
 
         scene = with_clusters(scene)

@@ -38,8 +38,10 @@ class RenderConfig:
         arbitrarily large spp (SURVEY.md §5.7). 0 means all spp in one pass.
       use_bvh: traverse the flat BVH (vs brute-force all triangles).
       backend: "cluster" (dense MXU cluster intersector — the fast TPU
-        path, ops/intersect_cluster.py), "jnp" (pure-JAX BVH traversal),
-        or "pallas" (packet traversal kernel).
+        path, ops/intersect_cluster.py; auto-switches to the HBM-streaming
+        variant when the table exceeds VMEM), "stream" (force the
+        HBM-streaming kernel, ops/intersect_stream.py), "jnp" (pure-JAX
+        BVH traversal), or "pallas" (packet traversal kernel).
       compact: stream-compact the active-ray buffer between bounces.
       mis: multiple importance sampling (power heuristic) between NEE and
         cosine-BSDF sampling at diffuse vertices (SURVEY.md §3.1

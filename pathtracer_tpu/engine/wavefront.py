@@ -65,6 +65,15 @@ def _intersector(geom, cfg: RenderConfig):
     (accel/clusters.py:with_clusters) and a table that fits VMEM, else it
     falls through to the jnp BVH walk.
     """
+    if cfg.backend == "stream" and geom.cl_lo.shape[0] > 0:
+        # Explicit selection of the HBM-streaming kernel (benchmarking /
+        # large scenes); "cluster" picks it automatically on VMEM overflow.
+        from ..ops.intersect_stream import closest_hit_stream
+
+        def hit(g, o, d):
+            return closest_hit_stream(g, o, d)
+
+        return hit
     if cfg.backend == "cluster" and geom.cl_lo.shape[0] > 0:
         from ..ops.intersect_cluster import closest_hit_cluster, fits_vmem
 

@@ -110,9 +110,23 @@ def main() -> int:
         img_c = np.asarray(
             wavefront.render(scene, cfg_m.replace(backend="cluster"))
         )
-        dmax = np.abs(img_j - img_c).max()
-        print(f"[3] engine jnp vs cluster backend: max diff {dmax:.2e}")
-        ok &= bool(dmax < 5e-3)
+        # Equal-t tie-breaks can pick a different triangle than the jnp
+        # walk and flip a whole pixel's path — tolerate a tiny pixel
+        # tail, like tests/unit/test_stream.py (engine render test).
+        bad = np.abs(img_j - img_c) > 5e-3 + 5e-3 * np.abs(img_j)
+        frac = float(bad.any(-1).mean())
+        print(f"[3] engine jnp vs cluster backend: "
+              f"max diff {np.abs(img_j - img_c).max():.2e}, "
+              f"bad-pixel frac {frac:.4f}")
+        ok &= bool(frac < 0.005)
+        img_s = np.asarray(
+            wavefront.render(scene, cfg_m.replace(backend="stream"))
+        )
+        bad_s = np.abs(img_j - img_s) > 5e-3 + 5e-3 * np.abs(img_j)
+        frac_s = float(bad_s.any(-1).mean())
+        print(f"[4] engine jnp vs STREAMING backend: "
+              f"bad-pixel frac {frac_s:.4f}")
+        ok &= bool(frac_s < 0.005)
 
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1

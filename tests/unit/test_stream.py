@@ -78,12 +78,18 @@ def test_cull_candidates_complete(mesh_scene):
     o_j, d_j = jnp.asarray(o), jnp.asarray(d)
     lo, hi = jnp.asarray(g.cl_lo), jnp.asarray(g.cl_hi)
     mask = np.asarray(cull_mask(lo, hi, o_j, d_j, block=512))
-    cand, count, overflow = cull_candidates(lo, hi, o_j, d_j, block=512)
-    cand, count = np.asarray(cand), np.asarray(count)
+    cand, count, tnear, overflow = cull_candidates(
+        lo, hi, o_j, d_j, block=512, max_cand=256
+    )
+    cand, count, tnear = map(np.asarray, (cand, count, tnear))
     assert not bool(overflow)
     assert count[0] == mask[0].sum()
     kept = set(cand[0][cand[0] >= 0].tolist())
     assert kept == set(np.nonzero(mask[0])[0].tolist())
+    # Near-first ordering: tnear rows are non-decreasing over valid slots.
+    valid = cand[0] >= 0
+    tv = tnear[0][valid]
+    assert (np.diff(tv) >= -1e-6).all()
 
 
 def test_overflow_falls_back_exactly(mesh_scene):
