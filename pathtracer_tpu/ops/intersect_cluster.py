@@ -148,9 +148,11 @@ def _cluster_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_ref,
                     t_ref, idx_ref):
     """One grid step = one RAY_BLOCK-ray block walking its candidate row.
 
-    cand_ref:  (1, K) i32 SMEM — near-first candidate cluster ids
-    count_ref: (1, 1) i32 SMEM — number of valid candidates
-    tnear_ref: (1, K) f32 SMEM — sorted conservative entry distances
+    cand_ref:  (8, K) i32 SMEM — candidate rows for 8 ray blocks (Mosaic
+        requires sublane-dim blocks divisible by 8, so per-block rows are
+        windowed 8 at a time; this block's row is program_id % 8)
+    count_ref: (8, 1) i32 SMEM — candidate counts, same windowing
+    tnear_ref: (8, K) f32 SMEM — sorted conservative entry distances
     rayf_ref:  (16, RB) f32 VMEM — rows [d(3), o x d(3), o(3), 1, 0...]
     feat_ref:  (16, C*512) f32 VMEM — the whole feature table, resident
     t_ref:   (8, RB) f32 out — row 0 = closest t (T_FAR miss)
@@ -158,8 +160,9 @@ def _cluster_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_ref,
     """
     RB = rayf_ref.shape[1]
     K = cand_ref.shape[1]
+    row = pl.program_id(0) % 8
     rayf_hi, rayf_lo = split_bf16(rayf_ref[:, :])
-    n_cand = count_ref[0, 0]
+    n_cand = count_ref[row, 0]
 
     def cond(state):
         k, tmax, _, _ = state
@@ -168,11 +171,11 @@ def _cluster_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_ref,
         # next-nearest cluster cannot contain a closer hit for ANY ray,
         # no later (farther) cluster can either: ordered early exit.
         kc = jnp.minimum(k, K - 1)
-        return (k < n_cand) & (tnear_ref[0, kc] < tmax)
+        return (k < n_cand) & (tnear_ref[row, kc] < tmax)
 
     def body(state):
         k, _, t_best, best = state
-        cid = cand_ref[0, k]
+        cid = cand_ref[row, k]
         col0 = pl.multiple_of(cid * CLUSTER_COLS, CLUSTER_COLS)
         blk = feat_ref[:, pl.ds(col0, CLUSTER_COLS)]  # (16, 512)
         q = visit_q(blk, rayf_hi, rayf_lo)
@@ -225,15 +228,16 @@ def _cluster_impl(cand, count, tnear, rayf, feat, interpret):
     assert R % block == 0, (R, block)
     grid = (R // block,)
     K = cand.shape[1]
+    assert cand.shape[0] % 8 == 0, cand.shape  # 8-row SMEM windows
     t_out, idx_out = pl.pallas_call(
         _cluster_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, K), lambda i: (i, 0),
+            pl.BlockSpec((8, K), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K), lambda i: (i, 0),
+            pl.BlockSpec((8, K), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((FEAT_ROWS, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -366,7 +370,9 @@ def closest_hit_cluster(geom, o, d, interpret: bool | None = None,
     d = jnp.asarray(d)
     R0 = o.shape[0]
     block = RAY_BLOCK
-    pad = (-R0) % block
+    # Pad to 8 whole blocks: the per-block SMEM rows are windowed 8 at a
+    # time (Mosaic sublane-divisibility; see _cluster_kernel docstring).
+    pad = (-R0) % (8 * block)
     if pad:
         o_p = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d_p = jnp.concatenate(

@@ -67,9 +67,10 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_hbm,
                    t_ref, idx_ref, buf, sems):
     """One grid step = one RAY_BLOCK-ray block walking its candidate row.
 
-    cand_ref:  (1, K) i32 SMEM — this block's candidate cluster ids
-    count_ref: (1, 1) i32 SMEM — number of valid candidates
-    tnear_ref: (1, K) f32 SMEM — sorted conservative entry distances
+    cand_ref:  (8, K) i32 SMEM — candidate rows for 8 ray blocks (Mosaic
+        sublane-divisibility windowing; this block's row = program_id % 8)
+    count_ref: (8, 1) i32 SMEM — candidate counts, same windowing
+    tnear_ref: (8, K) f32 SMEM — sorted conservative entry distances
     rayf_ref:  (16, RB) f32 VMEM — ray feature rows
     feat_hbm:  (16, C*512) f32 ANY/HBM — full feature table (unblocked)
     t_ref/idx_ref: (8, RB) outputs, row 0 meaningful
@@ -78,11 +79,12 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_hbm,
     """
     RB = rayf_ref.shape[1]
     K = cand_ref.shape[1]
+    row = pl.program_id(0) % 8
     rayf_hi, rayf_lo = split_bf16(rayf_ref[:, :])
-    n_cand = count_ref[0, 0]
+    n_cand = count_ref[row, 0]
 
     def dma(slot, k):
-        cid = cand_ref[0, k]
+        cid = cand_ref[row, k]
         col0 = pl.multiple_of(cid * CLUSTER_COLS, CLUSTER_COLS)
         return pltpu.make_async_copy(
             feat_hbm.at[:, pl.ds(col0, CLUSTER_COLS)],
@@ -100,7 +102,7 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_hbm,
         # A prefetched-but-skipped cluster's DMA is waited for in the
         # epilogue below so no semaphore is left pending.
         kc = jnp.minimum(k, K - 1)
-        return (k < n_cand) & (tnear_ref[0, kc] < tmax)
+        return (k < n_cand) & (tnear_ref[row, kc] < tmax)
 
     def body(state):
         k, _, t_best, best = state
@@ -112,7 +114,7 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_hbm,
 
         dma(slot, k).wait()
         q = visit_q(buf[slot], rayf_hi, rayf_lo)
-        cid = cand_ref[0, k]
+        cid = cand_ref[row, k]
         t_best, best = visit_epilogue(q, t_best, best, cid)
         return k + 1, jnp.max(t_best), t_best, best
 
@@ -171,15 +173,16 @@ def _stream_impl(cand, count, tnear, rayf, feat, interpret):
     assert R % block == 0, (R, block)
     grid = (R // block,)
     K = cand.shape[1]
+    assert cand.shape[0] % 8 == 0, cand.shape  # 8-row SMEM windows
     t_out, idx_out = pl.pallas_call(
         _stream_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, K), lambda i: (i, 0),
+            pl.BlockSpec((8, K), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, K), lambda i: (i, 0),
+            pl.BlockSpec((8, K), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((FEAT_ROWS, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -222,7 +225,8 @@ def closest_hit_stream(geom, o, d, interpret: bool | None = None,
     d = jnp.asarray(d)
     R0 = o.shape[0]
     block = RAY_BLOCK
-    pad = (-R0) % block
+    # Pad to 8 whole blocks (SMEM row windowing, see _stream_kernel).
+    pad = (-R0) % (8 * block)
     if pad:
         o_p = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d_p = jnp.concatenate(
