@@ -103,9 +103,11 @@ PRESETS: dict[str, RenderConfig] = {
         use_bvh=False,
     ),
     # 5. Multi-host: 2M-triangle scene, tiles+rays sharded, grads allreduced.
+    # backend="cluster" auto-selects the HBM-streaming kernel here (the
+    # 64MB-in-VMEM dense table cannot fit; ops/intersect_stream.py).
     "config5": RenderConfig(
         width=1024, height=1024, spp=1, max_depth=4, scene="big_mesh",
-        use_bvh=True, spp_chunk=1,
+        use_bvh=True, spp_chunk=1, backend="cluster",
     ),
     # The primary benchmark metric config (BASELINE.json:2):
     # rays/s/chip at 1spp 1024x1024 Cornell-mesh. backend="cluster" is the

@@ -65,21 +65,26 @@ def _intersector(geom, cfg: RenderConfig):
     (accel/clusters.py:with_clusters) and a table that fits VMEM, else it
     falls through to the jnp BVH walk.
     """
+    # All intersectors share the signature hit(g, o, d, t_max=None).
+    # t_max is the shadow-query upper bound: implementations MAY report
+    # hits at t >= t_max[i] as misses (the cluster kernels exploit it to
+    # stop their ordered walk at the light distance — PROFILE.md action
+    # 1); implementations that ignore it are equally correct.
     if cfg.backend == "stream" and geom.cl_lo.shape[0] > 0:
         # Explicit selection of the HBM-streaming kernel (benchmarking /
         # large scenes); "cluster" picks it automatically on VMEM overflow.
         from ..ops.intersect_stream import closest_hit_stream
 
-        def hit(g, o, d):
-            return closest_hit_stream(g, o, d)
+        def hit(g, o, d, t_max=None):
+            return closest_hit_stream(g, o, d, t_max=t_max)
 
         return hit
     if cfg.backend == "cluster" and geom.cl_lo.shape[0] > 0:
         from ..ops.intersect_cluster import closest_hit_cluster, fits_vmem
 
         if fits_vmem(int(geom.cl_lo.shape[0])):
-            def hit(g, o, d):
-                return closest_hit_cluster(g, o, d)
+            def hit(g, o, d, t_max=None):
+                return closest_hit_cluster(g, o, d, t_max=t_max)
 
             return hit
         # Cluster tables exceed VMEM: stream them from HBM with
@@ -89,8 +94,8 @@ def _intersector(geom, cfg: RenderConfig):
         # overflows the candidate cap.
         from ..ops.intersect_stream import closest_hit_stream
 
-        def hit(g, o, d):
-            return closest_hit_stream(g, o, d)
+        def hit(g, o, d, t_max=None):
+            return closest_hit_stream(g, o, d, t_max=t_max)
 
         return hit
     has_bvh = geom.bvh_lo.shape[0] > 0
@@ -98,17 +103,26 @@ def _intersector(geom, cfg: RenderConfig):
         if cfg.backend == "pallas":
             from ..ops.traverse_pallas import closest_hit_pallas
 
-            def hit(g, o, d):
+            def hit(g, o, d, t_max=None):
                 return closest_hit_pallas(g, o, d)
 
             return hit
         from ..accel.traverse import closest_hit
 
-        def hit(g, o, d):
+        def hit(g, o, d, t_max=None):
             return closest_hit(g, o, d)
 
         return hit
-    return isect.brute
+
+    def hit(g, o, d, t_max=None):
+        return isect.brute(g, o, d)
+
+    return hit
+
+
+# Canonical direction for masked-out lanes (see trace_sample): any unit
+# vector works; the point (o=0, d=z, t_max=T_MIN) ray does zero walk work.
+_CANON_DIR = (0.0, 0.0, 1.0)
 
 
 def _coherence_key(o, d, alive, scene_lo, scene_hi):
@@ -185,7 +199,15 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
     for bounce in range(cfg.max_depth):
         n_rays = n_rays + jnp.sum(alive.astype(jnp.int32))
         U = rng_mod.bounce_uniforms(cfg.seed, spp_idx, bounce, pixel_ids)
-        t, n_geom, mat = intersect(geometry, o, d)
+        # Dead lanes carry stale rays that (a) widen the cluster cull's
+        # per-block intervals and (b) pin the ordered-walk early exit at
+        # T_FAR (PROFILE.md). Canonicalize them to a zero-work point ray;
+        # their intersection results are never used (all radiance terms
+        # are masked by `alive`), so the image is bit-unchanged.
+        o_q = jnp.where(alive[:, None], o, 0.0)
+        d_q = jnp.where(alive[:, None], d, jnp.asarray(_CANON_DIR))
+        t_cap = jnp.where(alive, C.T_FAR, C.T_MIN)
+        t, n_geom, mat = intersect(geometry, o_q, d_q, t_max=t_cap)
         # Detach geometry: grads flow only through the shading chain.
         t = jax.lax.stop_gradient(t)
         n_geom = jax.lax.stop_gradient(n_geom)
@@ -246,7 +268,15 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
             cos_l = -jnp.sum(n_l * wi, -1)
             cand = alive & is_diff & (cos_s > 0.0) & (cos_l > 0.0)
             n_rays = n_rays + jnp.sum(cand.astype(jnp.int32))
-            t_sh, _, _ = intersect(geometry, o_sh, wi)
+            # Shadow query carries its distance bound: occluders beyond
+            # the light are irrelevant, so the cluster kernels stop the
+            # ordered walk at the light. Non-candidate lanes (dead,
+            # specular, backfacing) become zero-work point rays — their
+            # visibility is never read (`cand & vis` mask below).
+            o_shq = jnp.where(cand[:, None], o_sh, 0.0)
+            wi_q = jnp.where(cand[:, None], wi, jnp.asarray(_CANON_DIR))
+            t_sh_cap = jnp.where(cand, dist, C.T_MIN)
+            t_sh, _, _ = intersect(geometry, o_shq, wi_q, t_max=t_sh_cap)
             vis = t_sh >= dist * (1.0 - C.SHADOW_REL_EPS)
             geo_term = (
                 cos_s * cos_l * lights.total_area

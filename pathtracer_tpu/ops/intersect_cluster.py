@@ -161,7 +161,9 @@ def _cluster_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_ref,
     RB = rayf_ref.shape[1]
     K = cand_ref.shape[1]
     row = pl.program_id(0) % 8
-    rayf_hi, rayf_lo = split_bf16(rayf_ref[:, :])
+    rayf = rayf_ref[:, :]
+    rayf_hi, rayf_lo = split_bf16(rayf)
+    t0 = rayf[10:11, :]  # per-ray t upper bound (T_FAR when unbounded)
     n_cand = count_ref[row, 0]
 
     def cond(state):
@@ -184,8 +186,8 @@ def _cluster_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_ref,
 
     init = (
         jnp.int32(0),
-        jnp.float32(C.T_FAR),
-        jnp.full((1, RB), C.T_FAR, jnp.float32),
+        jnp.max(t0),
+        t0,
         jnp.full((1, RB), -1, jnp.int32),
     )
     _, _, t_best, best = jax.lax.while_loop(cond, body, init)
@@ -259,13 +261,26 @@ def _cluster_impl(cand, count, tnear, rayf, feat, interpret):
     return t_out[0], idx_out[0]
 
 
-def _ray_features(o, d):
-    """(R, 3) origins/directions -> planar (16, R) ray feature rows."""
+def _ray_features(o, d, t_max=None):
+    """(R, 3) origins/directions -> planar (16, R) ray feature rows.
+
+    Row layout: [d(3), o x d(3), o(3), 1, t_max, 0(5)]. Rows 0-9 pair
+    with the triangle feature columns (accel/clusters.py — those columns
+    are zero in rows 10+, so extra rows never perturb q). Row 10 carries
+    the per-ray t upper bound: the kernels initialize their best-t to it,
+    so hits beyond t_max MAY be reported as misses and the ordered early
+    exit stops at t_max instead of T_FAR — the NEE shadow-ray win (a
+    shadow query only cares about occluders nearer than the light).
+    """
     R = o.shape[0]
     oxd = jnp.cross(o, d)
+    if t_max is None:
+        tm = jnp.full((1, R), C.T_FAR, jnp.float32)
+    else:
+        tm = jnp.asarray(t_max, jnp.float32).reshape(1, R)
     rows = jnp.concatenate(
-        [d.T, oxd.T, o.T, jnp.ones((1, R), jnp.float32),
-         jnp.zeros((FEAT_ROWS - 10, R), jnp.float32)],
+        [d.T, oxd.T, o.T, jnp.ones((1, R), jnp.float32), tm,
+         jnp.zeros((FEAT_ROWS - 11, R), jnp.float32)],
         axis=0,
     )
     return rows
@@ -323,13 +338,14 @@ def cull_mask(cl_lo, cl_hi, o, d, block: int = RAY_BLOCK):
 
 
 def cull_candidates(cl_lo, cl_hi, o, d, block: int = RAY_BLOCK,
-                    max_cand: int | None = None):
+                    max_cand: int | None = None, t_max=None):
     """Per-ray-block candidate cluster lists, near-first.
 
     Same conservative interval slab test as cull_mask, additionally
     keeping the LOWER bound of the entry distance so candidates are
     ordered front-to-back — the kernels visit them in this order and
-    early-terminate on it.
+    early-terminate on it. With per-ray `t_max` (shadow queries),
+    clusters entirely beyond the block's farthest bound are culled too.
 
     Returns (cand, count, tnear, overflow):
       cand: (B, K) i32 cluster ids, -1 padded, sorted by tnear_lo
@@ -341,6 +357,10 @@ def cull_candidates(cl_lo, cl_hi, o, d, block: int = RAY_BLOCK,
     K = n_clusters if max_cand is None else min(max_cand, n_clusters)
     tnear_lo, tfar_hi = _block_cluster_intervals(cl_lo, cl_hi, o, d, block)
     hit = tfar_hi >= jnp.maximum(tnear_lo, C.T_MIN)
+    if t_max is not None:
+        B = o.shape[0] // block
+        block_tmax = jnp.asarray(t_max, jnp.float32).reshape(B, block)
+        hit = hit & (tnear_lo < block_tmax.max(1)[:, None])
     count = hit.sum(axis=1).astype(jnp.int32)  # (B,)
     key = jnp.where(hit, tnear_lo, jnp.inf)
     order = jnp.argsort(key, axis=1)[:, :K].astype(jnp.int32)  # (B, K)
@@ -353,14 +373,35 @@ def cull_candidates(cl_lo, cl_hi, o, d, block: int = RAY_BLOCK,
     return cand, count, tnear, overflow
 
 
+def _pad_rays(o, d, t_max, block):
+    """Pad ray arrays to 8 whole blocks (Mosaic SMEM row windowing)."""
+    R0 = o.shape[0]
+    pad = (-R0) % (8 * block)
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
+        )
+        if t_max is not None:
+            t_max = jnp.concatenate(
+                [jnp.asarray(t_max, jnp.float32),
+                 jnp.full((pad,), C.T_FAR, jnp.float32)]
+            )
+    return o, d, t_max
+
+
 def closest_hit_cluster(geom, o, d, interpret: bool | None = None,
-                        use_cull: bool = True):
+                        use_cull: bool = True, t_max=None):
     """Drop-in closest hit via the dense cluster kernel.
 
     Same contract as engine/intersect.py:brute / accel/traverse.py:
     (t, n_geom, mat) with t == T_FAR on miss. Requires cluster tables on
     the Geometry (accel/clusters.py:with_clusters). Sphere primitives are
     merged via the brute sphere path (spheres are few).
+
+    t_max: optional (R,) per-ray t upper bound; hits at t >= t_max[i] MAY
+    be reported as misses (exactly right for shadow/visibility queries —
+    see _ray_features). Hits strictly nearer are always found.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -370,24 +411,15 @@ def closest_hit_cluster(geom, o, d, interpret: bool | None = None,
     d = jnp.asarray(d)
     R0 = o.shape[0]
     block = RAY_BLOCK
-    # Pad to 8 whole blocks: the per-block SMEM rows are windowed 8 at a
-    # time (Mosaic sublane-divisibility; see _cluster_kernel docstring).
-    pad = (-R0) % (8 * block)
-    if pad:
-        o_p = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
-        d_p = jnp.concatenate(
-            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
-        )
-    else:
-        o_p, d_p = o, d
+    o_p, d_p, t_max_p = _pad_rays(o, d, t_max, block)
 
-    rayf = _ray_features(o_p, d_p)
+    rayf = _ray_features(o_p, d_p, t_max_p)
     B = o_p.shape[0] // block
     if use_cull:
         # K = C: the dense candidate list can never overflow — exact.
         cand, count, tnear, _ = cull_candidates(
             jnp.asarray(geom.cl_lo), jnp.asarray(geom.cl_hi), o_p, d_p,
-            block,
+            block, t_max=t_max_p,
         )
     else:
         # Visit everything in index order with early exit disabled

@@ -80,7 +80,9 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_hbm,
     RB = rayf_ref.shape[1]
     K = cand_ref.shape[1]
     row = pl.program_id(0) % 8
-    rayf_hi, rayf_lo = split_bf16(rayf_ref[:, :])
+    rayf = rayf_ref[:, :]
+    rayf_hi, rayf_lo = split_bf16(rayf)
+    t0 = rayf[10:11, :]  # per-ray t upper bound (T_FAR when unbounded)
     n_cand = count_ref[row, 0]
 
     def dma(slot, k):
@@ -120,8 +122,8 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_hbm,
 
     init = (
         jnp.int32(0),
-        jnp.float32(C.T_FAR),
-        jnp.full((1, RB), C.T_FAR, jnp.float32),
+        jnp.max(t0),
+        t0,
         jnp.full((1, RB), -1, jnp.int32),
     )
     k_end, _, t_best, best = jax.lax.while_loop(cond, body, init)
@@ -208,14 +210,15 @@ def _stream_impl(cand, count, tnear, rayf, feat, interpret):
 
 
 def closest_hit_stream(geom, o, d, interpret: bool | None = None,
-                       max_cand: int = MAX_CAND):
+                       max_cand: int = MAX_CAND, t_max=None):
     """Drop-in closest hit for scenes whose cluster tables exceed VMEM.
 
     Same contract as intersect_cluster.closest_hit_cluster: (t, n, mat),
-    t == T_FAR on miss. Exact for any candidate distribution — if a ray
-    block's candidate count exceeds `max_cand`, the whole batch is
-    computed by the jnp BVH walk instead (scalar lax.cond; both branches
-    are compiled, one executes).
+    t == T_FAR on miss; optional per-ray t_max bound (hits beyond it MAY
+    read as misses — the shadow-query contract). Exact for any candidate
+    distribution — if a ray block's candidate count exceeds `max_cand`,
+    the whole batch is computed by the jnp BVH walk instead (scalar
+    lax.cond; both branches are compiled, one executes).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -225,20 +228,14 @@ def closest_hit_stream(geom, o, d, interpret: bool | None = None,
     d = jnp.asarray(d)
     R0 = o.shape[0]
     block = RAY_BLOCK
-    # Pad to 8 whole blocks (SMEM row windowing, see _stream_kernel).
-    pad = (-R0) % (8 * block)
-    if pad:
-        o_p = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
-        d_p = jnp.concatenate(
-            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
-        )
-    else:
-        o_p, d_p = o, d
+    from .intersect_cluster import _pad_rays
 
-    rayf = _ray_features(o_p, d_p)
+    o_p, d_p, t_max_p = _pad_rays(o, d, t_max, block)
+
+    rayf = _ray_features(o_p, d_p, t_max_p)
     cand, count, tnear, overflow = cull_candidates(
         jnp.asarray(geom.cl_lo), jnp.asarray(geom.cl_hi), o_p, d_p,
-        block, max_cand,
+        block, max_cand, t_max=t_max_p,
     )
 
     def run_stream(_):

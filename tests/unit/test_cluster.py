@@ -156,6 +156,34 @@ def test_spheres_merge(mesh_scene):
     assert (np.asarray(m_b) == np.asarray(m_c)).mean() > 0.999
 
 
+def test_t_max_shadow_contract(mesh_scene):
+    """Per-ray t_max: hits strictly nearer are always found; hits beyond
+    may read as misses; visibility decisions are unchanged (the shadow
+    query contract, PROFILE.md action 1)."""
+    from pathtracer_tpu.ops.intersect_stream import closest_hit_stream
+
+    g = mesh_scene.geometry
+    o, d = _random_rays(1024, seed=13)
+    t_ref, _, _ = closest_hit_cluster(g, o, d, interpret=True)
+    t_ref = np.asarray(t_ref)
+    hit = t_ref < C.T_FAR * 0.5
+    # Bound strictly beyond each true hit: hit must still be found.
+    above = np.where(hit, t_ref * 1.5, C.T_FAR).astype(np.float32)
+    t_a, _, _ = closest_hit_cluster(g, o, d, interpret=True, t_max=above)
+    np.testing.assert_allclose(np.asarray(t_a)[hit], t_ref[hit],
+                               rtol=1e-6, atol=1e-6)
+    # Bound strictly below each true hit: must read as a miss.
+    below = np.where(hit, t_ref * 0.5, 1e-3).astype(np.float32)
+    t_b, _, _ = closest_hit_cluster(g, o, d, interpret=True, t_max=below)
+    assert (np.asarray(t_b) >= C.T_FAR * 0.5).all()
+    # Streaming kernel honors the same contract.
+    t_sa, _, _ = closest_hit_stream(g, o, d, interpret=True, t_max=above)
+    np.testing.assert_allclose(np.asarray(t_sa)[hit], t_ref[hit],
+                               rtol=1e-6, atol=1e-6)
+    t_sb, _, _ = closest_hit_stream(g, o, d, interpret=True, t_max=below)
+    assert (np.asarray(t_sb) >= C.T_FAR * 0.5).all()
+
+
 def test_tiled_pixel_ids_bijection():
     from pathtracer_tpu.engine.camera import tiled_pixel_ids
 
