@@ -100,10 +100,18 @@ def _traverse_chunk(geom, o, d, max_leaf: int):
         cursor = jnp.where(active, nxt, cursor)
         return cursor, t_best, best
 
+    # Derive the carry init from the (possibly device-varying) rays, not
+    # from constants: under `shard_map` a constant init is "unvarying"
+    # while the loop body makes the carry varying, which jax rejects
+    # (scan-vma rule). (o + d) covers both sources of varying-ness —
+    # camera rays share one origin, so o alone can be an unvarying
+    # broadcast while d varies per pixel. XLA folds the zero; outside
+    # shard_map this is identical to zeros().
+    zero = (o[:, 0] + d[:, 0]) * 0.0
     init = (
-        jnp.zeros((R,), jnp.int32),
-        jnp.full((R,), C.T_FAR, jnp.float32),
-        jnp.full((R,), -1, jnp.int32),
+        zero.astype(jnp.int32),
+        zero + C.T_FAR,
+        zero.astype(jnp.int32) - 1,
     )
     _, t_best, best = jax.lax.while_loop(cond, body, init)
     return t_best, best

@@ -99,11 +99,17 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh | None = None,
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
 def _render_sharded_jit(geometry, materials, camera, lights, pixel_ids,
                         cfg: RenderConfig, mesh: Mesh):
+    # check_vma=False: the Pallas cluster/stream kernels' out_shapes do
+    # not declare varying-manual-axes metadata, which the vma checker
+    # requires inside shard_map; correctness of the sharded render is
+    # asserted bit-exactly against the single-device render instead
+    # (tests/dist/test_sharding.py).
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(AXIS)),
         out_specs=P(AXIS),
+        check_vma=False,
     )
     def tile(geometry, materials, camera, lights, ids):
         def body(i, acc):
@@ -154,6 +160,7 @@ def _loss_grad_core(geometry, materials, camera, lights, pixel_ids, target,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(), P()),
+        check_vma=False,
     )
     def step(geometry, materials, camera, lights, ids, tgt, w):
         def loss_fn(mats):
@@ -173,11 +180,13 @@ def _loss_grad_core(geometry, materials, camera, lights, pixel_ids, target,
             return jnp.sum(w * (img - tgt) ** 2) / n_total
 
         loss, grads = jax.value_and_grad(loss_fn)(materials)
-        # The ICI all-reduce. Materials enter as mesh-unvarying (P()), so
-        # the new shard_map AD inserts the gradient psum automatically when
-        # transposing the broadcast (verified: a manual psum here double-
-        # counts by n_shards). Only the scalar loss needs an explicit psum.
+        # The ICI all-reduce. With vma tracking ON, shard_map AD inserts
+        # this psum automatically when transposing the unvarying-materials
+        # broadcast — but vma is disabled here (check_vma=False above, for
+        # the Pallas kernels), so the transpose yields SHARD-LOCAL grads
+        # and both the loss and the grads need the explicit psum.
         loss = jax.lax.psum(loss, AXIS)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, AXIS), grads)
         return loss, grads
 
     return step(geometry, materials, camera, lights, pixel_ids, target, weight)

@@ -83,3 +83,37 @@ def test_grads_finite_and_emission_grad_nonzero(scene):
     for leaf in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
     assert jnp_abs_sum(grads.emission) > 0
+
+
+@pytest.fixture(scope="module")
+def mesh_scene():
+    from pathtracer_tpu.accel.build import with_bvh
+    from pathtracer_tpu.accel.clusters import with_clusters
+
+    return with_clusters(with_bvh(builder.cornell_mesh()))
+
+
+def test_sharded_bvh_backend_equals_single(mesh_scene):
+    """BVH-walk backend under shard_map — regression test for the
+    while_loop carry varying-axes rule (an unvarying constant init is
+    rejected once the body makes the carry varying; accel/traverse.py
+    derives the init from the rays). The config-5 sharded large-scene
+    path depends on this."""
+    cfg = _cfg(scene="cornell_mesh", use_bvh=True, width=24, height=24,
+               spp=1)
+    single = np.asarray(wavefront.render(mesh_scene, cfg))
+    sharded = np.asarray(
+        pmesh.render_sharded(mesh_scene, cfg, pmesh.make_mesh())
+    )
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_sharded_cluster_backend_equals_single(mesh_scene):
+    """Cluster (Pallas, interpret on CPU) backend under shard_map."""
+    cfg = _cfg(scene="cornell_mesh", use_bvh=True, backend="cluster",
+               width=24, height=24, spp=1)
+    single = np.asarray(wavefront.render(mesh_scene, cfg))
+    sharded = np.asarray(
+        pmesh.render_sharded(mesh_scene, cfg, pmesh.make_mesh())
+    )
+    np.testing.assert_array_equal(single, sharded)
