@@ -7,26 +7,32 @@ cluster feature table VMEM-resident, capping scenes at ~65k triangles.
 This variant keeps the table in HBM and DMAs only the clusters each ray
 block actually needs:
 
-  XLA (intersect_cluster.cull_candidates): per-ray-block candidate lists
-      — cluster ids surviving the conservative interval cull, sorted by
-      entry distance (near first), padded to a static cap K. Dense ops:
-      interval test, argsort. No gathers.
+  XLA (intersect_cluster.cull_candidates + this wrapper): the FULL
+      near-first candidate ordering per ray block — cluster ids
+      surviving the conservative interval cull, sorted by entry-distance
+      lower bound. Dense ops: interval test, argsort. No gathers.
 
-  Pallas (this file): grid = ray blocks. Each step walks its candidate
-      row (SMEM), double-buffering 32KB feature blocks HBM->VMEM with
-      `pltpu.make_async_copy` while the MXU intersects the previous
-      cluster — the classic DMA/compute overlap pattern. Compute per
-      visit is identical to the dense kernel (shared visit_q /
-      visit_epilogue), including the ordered EARLY EXIT once every ray's
-      best hit precedes the next candidate's conservative entry distance.
+  Pallas (this file): grid = ray blocks. Each step walks a K-candidate
+      window of its row (SMEM), double-buffering 32KB feature blocks
+      HBM->VMEM with `pltpu.make_async_copy` while the MXU intersects
+      the previous cluster. Compute per visit is identical to the dense
+      kernel (shared visit_q / visit_epilogue), including the ordered
+      early exit. Best-t/best-index carry IN and OUT of the kernel, so
+      the walk can continue across calls.
 
-  Exactness guard:   a block whose candidate count exceeds K cannot be
-      silently truncated (a missed cluster = a wrong image). The wrapper
-      computes `max_count` and a scalar `lax.cond` selects the jnp BVH
-      walk for the WHOLE batch in that case. The streaming result is
-      therefore always exact; K only controls how often the slow path
-      triggers. Coherent blocks (camera tiles, NEE shadow batches,
-      compaction-sorted bounces) stay far below any reasonable K.
+  ROUNDS (the exactness mechanism): a single window of K candidates is
+      not enough for incoherent blocks on large scenes — and falling
+      back to a whole-batch gather walk is orders of magnitude slower
+      (long enough to trip device watchdogs on 2M-triangle scenes;
+      observed on the v5e). Instead the wrapper runs the kernel in a
+      `lax.while_loop` over K-candidate ROUNDS: after each round a block
+      is RESOLVED iff every ray's best hit is strictly nearer than the
+      first candidate the window dropped (their entry bounds only grow,
+      so no dropped cluster can beat a resolved ray) or its candidate
+      list is exhausted. Resolved blocks get count=0 in later rounds
+      (near-zero kernel cost); the loop ends when all blocks resolve.
+      Worst case ceil(C/K) rounds == visiting every culled cluster —
+      exact by construction, no fallback path, bounded VMEM always.
 
 The reference has no analogue — its BVH lives in GPU global memory and
 is pointer-chased per thread (SURVEY.md §2.1 R2, AoS pointer nodes);
@@ -46,32 +52,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
-from ..accel.clusters import CLUSTER_COLS, FEAT_ROWS
+from ..accel.clusters import CLUSTER_COLS, CLUSTER_TRIS, FEAT_ROWS
 from ..engine import intersect as isect
 from .intersect_cluster import (
     RAY_BLOCK,
+    _block_cluster_intervals,
+    _pad_rays,
     _ray_features,
-    cull_candidates,
     split_bf16,
     visit_epilogue,
     visit_q,
 )
 
-# Default per-block candidate cap. 256 clusters = 32k triangles of
-# working set per ray block; camera-tile frustums in the 2M-triangle
-# big_mesh scene measure far below this (tests/unit/test_stream.py).
-MAX_CAND = 256
+# Candidates per round window. 256 clusters = 32k triangles of working
+# set per (block, round); coherent blocks resolve in round 1, incoherent
+# ones take a few rounds (tests/unit/test_stream.py exercises many).
+ROUND_CAND = 256
 
 
-def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_hbm,
-                   t_ref, idx_ref, buf, sems):
-    """One grid step = one RAY_BLOCK-ray block walking its candidate row.
+def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, t_in_ref,
+                   idx_in_ref, feat_hbm, t_ref, idx_ref, buf, sems):
+    """One grid step = one RAY_BLOCK-ray block walking one candidate
+    window, continuing from carried-in best-t/best-index.
 
     cand_ref:  (8, K) i32 SMEM — candidate rows for 8 ray blocks (Mosaic
         sublane-divisibility windowing; this block's row = program_id % 8)
-    count_ref: (8, 1) i32 SMEM — candidate counts, same windowing
+    count_ref: (8, 1) i32 SMEM — candidates THIS round (0 = skip block)
     tnear_ref: (8, K) f32 SMEM — sorted conservative entry distances
     rayf_ref:  (16, RB) f32 VMEM — ray feature rows
+    t_in_ref / idx_in_ref: (8, RB) VMEM — carried best so far (row 0)
     feat_hbm:  (16, C*512) f32 ANY/HBM — full feature table (unblocked)
     t_ref/idx_ref: (8, RB) outputs, row 0 meaningful
     buf:  (2, 16, 512) f32 VMEM scratch — double buffer
@@ -80,9 +89,9 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_hbm,
     RB = rayf_ref.shape[1]
     K = cand_ref.shape[1]
     row = pl.program_id(0) % 8
-    rayf = rayf_ref[:, :]
-    rayf_hi, rayf_lo = split_bf16(rayf)
-    t0 = rayf[10:11, :]  # per-ray t upper bound (T_FAR when unbounded)
+    rayf_hi, rayf_lo = split_bf16(rayf_ref[:, :])
+    t0 = t_in_ref[0:1, :]
+    best0 = idx_in_ref[0:1, :]
     n_cand = count_ref[row, 0]
 
     def dma(slot, k):
@@ -101,8 +110,6 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_hbm,
     def cond(state):
         k, tmax, _, _ = state
         # Ordered early exit (see intersect_cluster._cluster_kernel).
-        # A prefetched-but-skipped cluster's DMA is waited for in the
-        # epilogue below so no semaphore is left pending.
         kc = jnp.minimum(k, K - 1)
         return (k < n_cand) & (tnear_ref[row, kc] < tmax)
 
@@ -120,12 +127,7 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_hbm,
         t_best, best = visit_epilogue(q, t_best, best, cid)
         return k + 1, jnp.max(t_best), t_best, best
 
-    init = (
-        jnp.int32(0),
-        jnp.max(t0),
-        t0,
-        jnp.full((1, RB), -1, jnp.int32),
-    )
+    init = (jnp.int32(0), jnp.max(t0), t0, best0)
     k_end, _, t_best, best = jax.lax.while_loop(cond, body, init)
 
     # If the loop exited early, the prefetch for step k_end is still in
@@ -140,28 +142,32 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_hbm,
     idx_ref[:, :] = jnp.broadcast_to(best, (8, RB))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _stream_pallas(cand, count, tnear, rayf, feat, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _stream_pallas(cand, count, tnear, rayf, t_in, idx_in, feat, interpret):
     """custom_vjp boundary — traversal outputs are piecewise-constant in
     the differentiable parameters (same detach policy as the dense
     kernel and ops/traverse_pallas.py; SURVEY.md §3.4/T9)."""
-    return _stream_impl(cand, count, tnear, rayf, feat, interpret)
+    return _stream_impl(cand, count, tnear, rayf, t_in, idx_in, feat,
+                        interpret)
 
 
-def _stream_fwd(cand, count, tnear, rayf, feat, interpret):
-    out = _stream_impl(cand, count, tnear, rayf, feat, interpret)
+def _stream_fwd(cand, count, tnear, rayf, t_in, idx_in, feat, interpret):
+    out = _stream_impl(cand, count, tnear, rayf, t_in, idx_in, feat,
+                       interpret)
     return out, (cand.shape, count.shape, tnear.shape, rayf.shape,
-                 feat.shape)
+                 t_in.shape, idx_in.shape, feat.shape)
 
 
 def _stream_bwd(interpret, res, g):
-    c_shape, n_shape, tn_shape, r_shape, f_shape = res
+    c_s, n_s, tn_s, r_s, ti_s, ii_s, f_s = res
     return (
-        np.zeros(c_shape, jax.dtypes.float0),
-        np.zeros(n_shape, jax.dtypes.float0),
-        jnp.zeros(tn_shape, jnp.float32),
-        jnp.zeros(r_shape, jnp.float32),
-        jnp.zeros(f_shape, jnp.float32),
+        np.zeros(c_s, jax.dtypes.float0),
+        np.zeros(n_s, jax.dtypes.float0),
+        jnp.zeros(tn_s, jnp.float32),
+        jnp.zeros(r_s, jnp.float32),
+        jnp.zeros(ti_s, jnp.float32),
+        np.zeros(ii_s, jax.dtypes.float0),
+        jnp.zeros(f_s, jnp.float32),
     )
 
 
@@ -169,7 +175,7 @@ _stream_pallas.defvjp(_stream_fwd, _stream_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _stream_impl(cand, count, tnear, rayf, feat, interpret):
+def _stream_impl(cand, count, tnear, rayf, t_in, idx_in, feat, interpret):
     R = rayf.shape[1]
     block = min(R, RAY_BLOCK)
     assert R % block == 0, (R, block)
@@ -188,6 +194,10 @@ def _stream_impl(cand, count, tnear, rayf, feat, interpret):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((FEAT_ROWS, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # feat stays in HBM
         ],
         out_specs=[
@@ -205,20 +215,19 @@ def _stream_impl(cand, count, tnear, rayf, feat, interpret):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(cand, count.reshape(-1, 1), tnear, rayf, feat)
-    return t_out[0], idx_out[0]
+    )(cand, count.reshape(-1, 1), tnear, rayf, t_in, idx_in, feat)
+    return t_out, idx_out
 
 
 def closest_hit_stream(geom, o, d, interpret: bool | None = None,
-                       max_cand: int = MAX_CAND, t_max=None):
+                       max_cand: int = ROUND_CAND, t_max=None):
     """Drop-in closest hit for scenes whose cluster tables exceed VMEM.
 
     Same contract as intersect_cluster.closest_hit_cluster: (t, n, mat),
     t == T_FAR on miss; optional per-ray t_max bound (hits beyond it MAY
     read as misses — the shadow-query contract). Exact for any candidate
-    distribution — if a ray block's candidate count exceeds `max_cand`,
-    the whole batch is computed by the jnp BVH walk instead (scalar
-    lax.cond; both branches are compiled, one executes).
+    distribution via the round loop (module docstring): `max_cand` is
+    the per-round window size, a pure performance knob.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -228,47 +237,89 @@ def closest_hit_stream(geom, o, d, interpret: bool | None = None,
     d = jnp.asarray(d)
     R0 = o.shape[0]
     block = RAY_BLOCK
-    from .intersect_cluster import _pad_rays
-
     o_p, d_p, t_max_p = _pad_rays(o, d, t_max, block)
+    R = o_p.shape[0]
+    B = R // block
+    K = min(max_cand, n_clusters)
 
     rayf = _ray_features(o_p, d_p, t_max_p)
-    cand, count, tnear, overflow = cull_candidates(
-        jnp.asarray(geom.cl_lo), jnp.asarray(geom.cl_hi), o_p, d_p,
-        block, max_cand, t_max=t_max_p,
+    lo = jnp.asarray(geom.cl_lo)
+    hi = jnp.asarray(geom.cl_hi)
+    tnear_lo, tfar_hi = _block_cluster_intervals(lo, hi, o_p, d_p, block)
+    keep = tfar_hi >= jnp.maximum(tnear_lo, C.T_MIN)
+    if t_max_p is not None:
+        btm = jnp.asarray(t_max_p, jnp.float32).reshape(B, block)
+        keep = keep & (tnear_lo < btm.max(1)[:, None])
+    count = keep.sum(axis=1).astype(jnp.int32)  # (B,)
+    key = jnp.where(keep, tnear_lo, jnp.inf)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)  # (B, C) near-first
+    tsort = jnp.take_along_axis(key, order, axis=1).astype(jnp.float32)
+    # Pad the sorted tables to a whole number of K-rounds PLUS one extra
+    # window, so every dynamic_slice below (including the round-(r+1)
+    # resolution-cap read) stays in bounds without clamping.
+    n_rounds = -(-n_clusters // K)
+    pad_c = n_rounds * K + K - n_clusters
+    order = jnp.concatenate(
+        [order, jnp.zeros((B, pad_c), jnp.int32)], axis=1
+    )
+    tsort = jnp.concatenate(
+        [tsort, jnp.full((B, pad_c), jnp.inf, jnp.float32)], axis=1
     )
 
-    def run_stream(_):
-        t_best, slot = _stream_pallas(
-            cand, count, tnear, rayf, jnp.asarray(geom.cl_feat), interpret
-        )
-        t_best = t_best[:R0]
-        slot = slot[:R0]
-        hit = slot >= 0
-        best = jnp.where(
-            hit, jnp.asarray(geom.cl_map)[jnp.maximum(slot, 0)], -1
-        )
-        hit = best >= 0
-        safe = jnp.maximum(best, 0)
-        n_best = jnp.where(hit[:, None], jnp.asarray(geom.tri_n)[safe], 0.0)
-        m_best = jnp.where(hit, jnp.asarray(geom.tri_mat)[safe], 0)
-        t_out = jnp.where(hit, t_best, C.T_FAR)
-        return t_out, n_best, m_best
-
-    def run_fallback(_):
-        from ..accel.traverse import closest_hit
-
-        return closest_hit(geom, o, d)
-
-    if geom.bvh_lo.shape[0] > 0 and max_cand < n_clusters:
-        t_out, n_best, m_best = jax.lax.cond(
-            overflow, run_fallback, run_stream, operand=None
-        )
+    feat = jnp.asarray(geom.cl_feat)
+    if t_max_p is not None:
+        t_init = jnp.asarray(t_max_p, jnp.float32)
     else:
-        # K == C (overflow impossible) or no BVH tables to fall back to;
-        # in the latter case callers must size max_cand for the scene
-        # (asserted in interpret-mode tests, unverifiable inside jit).
-        t_out, n_best, m_best = run_stream(None)
+        # Varying-safe T_FAR init (see accel/traverse.py note).
+        t_init = (o_p[:, 0] + d_p[:, 0]) * 0.0 + C.T_FAR
+    t_init = jnp.broadcast_to(t_init[None, :], (8, R))
+    idx_init = jnp.full((8, R), -1, jnp.int32) + (
+        t_init[:1, :] * 0.0
+    ).astype(jnp.int32)  # varying-safe -1
+
+    def round_cond(state):
+        r, resolved, _, _ = state
+        return (r < n_rounds) & ~jnp.all(resolved)
+
+    def round_body(state):
+        r, resolved, t_cur, idx_cur = state
+        start = r * K
+        cand_r = jax.lax.dynamic_slice(order, (0, start), (B, K))
+        tnear_r = jax.lax.dynamic_slice(tsort, (0, start), (B, K))
+        cnt_r = jnp.clip(count - start, 0, K)
+        cnt_r = jnp.where(resolved, 0, cnt_r)
+        t_new, idx_new = _stream_pallas(
+            cand_r, cnt_r, tnear_r, rayf, t_cur, idx_cur, feat, interpret
+        )
+        # Resolution test: the nearest candidate the next round would
+        # visit bounds every unvisited cluster from below; if each ray's
+        # best hit is already nearer, later rounds cannot change it.
+        cap = jax.lax.dynamic_slice(tsort, (0, start + K), (B, 1))[:, 0]
+        tmax_b = t_new[0].reshape(B, block).max(axis=1)
+        resolved = resolved | (tmax_b <= cap) | (count <= start + K)
+        return r + 1, resolved, t_new, idx_new
+
+    state0 = (
+        jnp.int32(0),
+        count == 0,  # empty blocks are born resolved
+        t_init,
+        idx_init,
+    )
+    _, _, t_all, idx_all = jax.lax.while_loop(
+        round_cond, round_body, state0
+    )
+    t_best = t_all[0][:R0]
+    slot = idx_all[0][:R0]
+
+    hit = slot >= 0
+    best = jnp.where(
+        hit, jnp.asarray(geom.cl_map)[jnp.maximum(slot, 0)], -1
+    )
+    hit = best >= 0
+    safe = jnp.maximum(best, 0)
+    n_best = jnp.where(hit[:, None], jnp.asarray(geom.tri_n)[safe], 0.0)
+    m_best = jnp.where(hit, jnp.asarray(geom.tri_mat)[safe], 0)
+    t_out = jnp.where(hit, t_best, C.T_FAR)
 
     if geom.sph_c.shape[0] > 0:
         ts = isect.intersect_spheres(o, d, geom.sph_c, geom.sph_r)

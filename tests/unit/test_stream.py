@@ -16,10 +16,8 @@ from pathtracer_tpu import constants as C
 from pathtracer_tpu.accel.build import with_bvh
 from pathtracer_tpu.accel.clusters import CLUSTER_TRIS, with_clusters
 from pathtracer_tpu.engine import intersect as isect
-from pathtracer_tpu.ops.intersect_stream import (
-    closest_hit_stream,
-    cull_candidates,
-)
+from pathtracer_tpu.ops.intersect_cluster import cull_candidates
+from pathtracer_tpu.ops.intersect_stream import closest_hit_stream
 from pathtracer_tpu.scene import builder
 
 
@@ -92,24 +90,18 @@ def test_cull_candidates_complete(mesh_scene):
     assert (np.diff(tv) >= -1e-6).all()
 
 
-def test_overflow_falls_back_exactly(mesh_scene):
-    """A candidate cap smaller than the true count must not change the
-    result (the wrapper switches to the jnp BVH walk)."""
+def test_small_round_window_is_exact(mesh_scene):
+    """A round window far smaller than the candidate lists must not
+    change any result — the round loop keeps walking until every block
+    resolves (module docstring: the exactness mechanism). max_cand=8 on
+    a 64-cluster scene forces up to 8 rounds per call."""
     g = mesh_scene.geometry
     o, d = _random_rays(768, seed=9)
     t_ref, _, m_ref = closest_hit_stream(g, o, d, interpret=True)
-    t_of, _, m_of = closest_hit_stream(g, o, d, interpret=True, max_cand=2)
-    # max_cand=2 certainly overflows (the scene has 64 clusters and rays
-    # cross many); the fallback is the exact jnp walk.
-    from pathtracer_tpu.accel.traverse import closest_hit
-
-    t_j, _, m_j = closest_hit(g, o, d)
-    np.testing.assert_allclose(np.asarray(t_of), np.asarray(t_j),
+    t_8, _, m_8 = closest_hit_stream(g, o, d, interpret=True, max_cand=8)
+    np.testing.assert_allclose(np.asarray(t_8), np.asarray(t_ref),
                                rtol=1e-6, atol=1e-6)
-    hit = np.asarray(t_ref) < C.T_FAR * 0.5
-    np.testing.assert_allclose(np.asarray(t_of)[hit],
-                               np.asarray(t_ref)[hit],
-                               rtol=4e-3, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(m_8), np.asarray(m_ref))
 
 
 def test_spheres_merge_stream():
