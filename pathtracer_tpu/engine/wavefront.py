@@ -142,9 +142,19 @@ def _coherence_key(o, d, alive, scene_lo, scene_hi):
     q = jnp.clip(
         (o - scene_lo[None, :]) / (scene_hi - scene_lo)[None, :], 0.0, 0.999
     )
-    cell = (q * 4.0).astype(jnp.int32)  # 2 bits per axis
-    morton = cell[:, 0] | (cell[:, 1] << 2) | (cell[:, 2] << 4)
-    key = (oct_bits << 6) | morton
+    # 4 bits per axis, bit-interleaved (true morton): 512-ray blocks of a
+    # ~1M-ray buffer then come from ~1/32768 of (octant x cell) space.
+    # The round-1 2-bit cell was far too coarse for many-object scenes —
+    # the cluster cull's per-block intervals are only as tight as this
+    # sort makes them (PROFILE.md).
+    cell = (q * 16.0).astype(jnp.int32)  # (N, 3), 4 bits per axis
+    morton = jnp.zeros_like(cell[:, 0])
+    for b in range(4):
+        for ax in range(3):
+            morton = morton | (
+                ((cell[:, ax] >> b) & 1) << (3 * b + ax)
+            )
+    key = (oct_bits << 12) | morton
     return jnp.where(alive, key, jnp.int32(1 << 30))
 
 
