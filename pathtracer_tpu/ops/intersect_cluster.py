@@ -390,6 +390,29 @@ def _pad_rays(o, d, t_max, block):
     return o, d, t_max
 
 
+def exit_bound(cl_lo, cl_hi, o, d):
+    """Per-ray scene-box exit distance — a universal t upper bound.
+
+    Every cluster (hence every triangle) lies inside the union AABB of
+    the cluster boxes, so no ray can hit anything beyond the point where
+    it exits that box. Initializing best-t at this bound lets rays that
+    MISS the scene resolve their ordered walk after the near candidates
+    instead of scanning to T_FAR (the dominant cost of open scenes —
+    PROFILE.md big_mesh finding). The small relative+absolute epsilon
+    keeps boundary triangles (exactly on a box face) strictly inside the
+    bound. Rays that miss the box entirely get ~0 => zero walk work.
+    """
+    lo = jnp.min(cl_lo, axis=0)
+    hi = jnp.max(cl_hi, axis=0)
+    tiny = 1e-20
+    dd = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
+    inv = 1.0 / dd
+    t0 = (lo[None, :] - o) * inv
+    t1 = (hi[None, :] - o) * inv
+    t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return jnp.maximum(t_exit, 0.0) * 1.0001 + 1e-3
+
+
 def closest_hit_cluster(geom, o, d, interpret: bool | None = None,
                         use_cull: bool = True, t_max=None):
     """Drop-in closest hit via the dense cluster kernel.
@@ -412,6 +435,13 @@ def closest_hit_cluster(geom, o, d, interpret: bool | None = None,
     R0 = o.shape[0]
     block = RAY_BLOCK
     o_p, d_p, t_max_p = _pad_rays(o, d, t_max, block)
+    # Cap every ray at its scene-box exit (see exit_bound): miss rays
+    # then early-terminate the ordered walk instead of scanning to T_FAR.
+    t_exit = exit_bound(jnp.asarray(geom.cl_lo), jnp.asarray(geom.cl_hi),
+                        o_p, d_p)
+    t_max_p = t_exit if t_max_p is None else jnp.minimum(
+        jnp.asarray(t_max_p, jnp.float32), t_exit
+    )
 
     rayf = _ray_features(o_p, d_p, t_max_p)
     B = o_p.shape[0] // block

@@ -59,6 +59,7 @@ from .intersect_cluster import (
     _block_cluster_intervals,
     _pad_rays,
     _ray_features,
+    exit_bound,
     split_bf16,
     visit_epilogue,
     visit_q,
@@ -242,14 +243,21 @@ def closest_hit_stream(geom, o, d, interpret: bool | None = None,
     B = R // block
     K = min(max_cand, n_clusters)
 
-    rayf = _ray_features(o_p, d_p, t_max_p)
     lo = jnp.asarray(geom.cl_lo)
     hi = jnp.asarray(geom.cl_hi)
+    # Scene-box exit cap (exit_bound): without it, rays that miss the
+    # scene never resolve and every block walks its FULL candidate list
+    # — measured as 64/64 rounds executing on big_mesh (PROFILE.md).
+    t_exit = exit_bound(lo, hi, o_p, d_p)
+    t_max_p = t_exit if t_max_p is None else jnp.minimum(
+        jnp.asarray(t_max_p, jnp.float32), t_exit
+    )
+
+    rayf = _ray_features(o_p, d_p, t_max_p)
     tnear_lo, tfar_hi = _block_cluster_intervals(lo, hi, o_p, d_p, block)
     keep = tfar_hi >= jnp.maximum(tnear_lo, C.T_MIN)
-    if t_max_p is not None:
-        btm = jnp.asarray(t_max_p, jnp.float32).reshape(B, block)
-        keep = keep & (tnear_lo < btm.max(1)[:, None])
+    btm = t_max_p.reshape(B, block)
+    keep = keep & (tnear_lo < btm.max(1)[:, None])
     count = keep.sum(axis=1).astype(jnp.int32)  # (B,)
     key = jnp.where(keep, tnear_lo, jnp.inf)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)  # (B, C) near-first
@@ -267,12 +275,9 @@ def closest_hit_stream(geom, o, d, interpret: bool | None = None,
     )
 
     feat = jnp.asarray(geom.cl_feat)
-    if t_max_p is not None:
-        t_init = jnp.asarray(t_max_p, jnp.float32)
-    else:
-        # Varying-safe T_FAR init (see accel/traverse.py note).
-        t_init = (o_p[:, 0] + d_p[:, 0]) * 0.0 + C.T_FAR
-    t_init = jnp.broadcast_to(t_init[None, :], (8, R))
+    # t_max_p derives from the rays (exit_bound), so this init is
+    # varying-safe under shard_map (see accel/traverse.py note).
+    t_init = jnp.broadcast_to(t_max_p[None, :], (8, R))
     idx_init = jnp.full((8, R), -1, jnp.int32) + (
         t_init[:1, :] * 0.0
     ).astype(jnp.int32)  # varying-safe -1
