@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
-from ..accel.clusters import CLUSTER_COLS, CLUSTER_TRIS, FEAT_ROWS
+from ..accel.clusters import CLUSTER_COLS, FEAT_ROWS
 from ..engine import intersect as isect
 from .intersect_cluster import (
     RAY_BLOCK,
