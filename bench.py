@@ -21,7 +21,8 @@ Also appends one SURVEY.md §5.5 schema row per run to bench_metrics.jsonl:
     {config, chips, hosts, rays_per_s_per_chip, scaling_eff}
 
 Usage: python bench.py [--smoke] [--scene cornell_mesh] [--depth 4]
-                       [--backend jnp|pallas] [--budget 60] [--compact]
+                       [--backend jnp|pallas|cluster|stream] [--budget 60]
+                       [--compact]
 """
 
 from __future__ import annotations
@@ -45,7 +46,8 @@ def main() -> int:
     ap.add_argument("--budget", type=float, default=60.0,
                     help="wall-clock seconds of timed measurement")
     ap.add_argument("--backend", default=None,
-                    help="override cfg.backend (jnp|pallas)")
+                    choices=["jnp", "pallas", "cluster", "stream"],
+                    help="override cfg.backend")
     ap.add_argument("--compact", action="store_true",
                     help="enable stream compaction between bounces")
     ap.add_argument("--bands", type=int, default=0,
@@ -128,9 +130,13 @@ def main() -> int:
     total_rays = 0
     total_secs = 0.0
     measured = 0
+    # Rotate the starting band between runs so short-budget runs don't
+    # oversample band 0 (VERDICT r2 weak 7): all bands share one compiled
+    # program, so any starting point measures the same steady state.
+    band0 = int(time.time()) % bands
     deadline = time.perf_counter() + args.budget
     while measured == 0 or (time.perf_counter() < deadline):
-        b = measured % bands
+        b = (band0 + measured) % bands
         t0 = time.perf_counter()
         _, n = run(*sargs, jnp.uint32(b * band))
         n = int(n)  # host fetch = the only reliable completion barrier

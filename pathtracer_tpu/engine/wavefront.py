@@ -89,9 +89,10 @@ def _intersector(geom, cfg: RenderConfig):
             return hit
         # Cluster tables exceed VMEM: stream them from HBM with
         # double-buffered DMA (ops/intersect_stream.py) — the config-5
-        # large-scene path (SURVEY.md §5.7 mechanism 4). Exact: falls
-        # back to the jnp BVH walk inside the program if any ray block
-        # overflows the candidate cap.
+        # large-scene path (SURVEY.md §5.7 mechanism 4). Exact for any
+        # candidate distribution via the kernel's lax.while_loop over
+        # K-candidate ROUNDS with a per-block resolution test (worst
+        # case ceil(C/K) rounds — no fallback path).
         from ..ops.intersect_stream import closest_hit_stream
 
         def hit(g, o, d, t_max=None):

@@ -231,6 +231,11 @@ def _cluster_impl(cand, count, tnear, rayf, feat, interpret):
     grid = (R // block,)
     K = cand.shape[1]
     assert cand.shape[0] % 8 == 0, cand.shape  # 8-row SMEM windows
+    # cull_candidates returns count UNCAPPED (its overflow flag is easy to
+    # ignore); the kernel walks k < count reading cand_ref[row, k], so an
+    # uncapped count with a max_cand-truncated cand row would read past
+    # the SMEM window. Clamp here at the kernel boundary.
+    count = jnp.minimum(count, K)
     t_out, idx_out = pl.pallas_call(
         _cluster_kernel,
         grid=grid,
@@ -383,9 +388,14 @@ def _pad_rays(o, d, t_max, block):
             [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
         )
         if t_max is not None:
+            # Pad lanes share the final partial block with real rays and
+            # the ordered early exit uses the block-wide max of best-t, so
+            # pad with T_MIN (the engine's dead-lane canonicalization):
+            # a T_FAR pad lane would pin that block's exit bound at its
+            # scene-box exit and defeat the shadow distance cap.
             t_max = jnp.concatenate(
                 [jnp.asarray(t_max, jnp.float32),
-                 jnp.full((pad,), C.T_FAR, jnp.float32)]
+                 jnp.full((pad,), C.T_MIN, jnp.float32)]
             )
     return o, d, t_max
 
@@ -410,7 +420,10 @@ def exit_bound(cl_lo, cl_hi, o, d):
     t0 = (lo[None, :] - o) * inv
     t1 = (hi[None, :] - o) * inv
     t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    return jnp.maximum(t_exit, 0.0) * 1.0001 + 1e-3
+    # Clamp to T_FAR: a bound above T_FAR would let an all-miss cluster
+    # visit (tc == T_FAR) read as an "improvement" and return slot >= 0
+    # with stale normal/material for direct API callers (ADVICE r2).
+    return jnp.minimum(jnp.maximum(t_exit, 0.0) * 1.0001 + 1e-3, C.T_FAR)
 
 
 def closest_hit_cluster(geom, o, d, interpret: bool | None = None,

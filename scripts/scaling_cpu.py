@@ -86,7 +86,13 @@ def main() -> int:
         chips=8,
         hosts=1,
         rays_per_s_per_chip=None,
-        scaling_eff=round(eff, 4),
+        # scaling_eff is null BY RULE for virtual-device rows: 8 fake
+        # devices share one CPU, so a wall-clock ratio is noise (r2
+        # recorded a nonsense 1.54 "efficiency"); the correctness result
+        # is the sharded_equals_single boolean. The raw ratio is kept
+        # under an honest name for the curious.
+        scaling_eff=None,
+        same_host_speedup=round(eff, 4),
         device="cpu-8-virtual",
         sharded_equals_single=bitexact,
     )

@@ -36,7 +36,7 @@ def test_mis_unbiased(biglight):
     img_base = np.asarray(wavefront.render(biglight, cfg))
     img_mis = np.asarray(wavefront.render(biglight, cfg.replace(mis=True)))
     # Mean radiance tight; per-pixel quantile-based (Monte Carlo noise at
-    # 192 spp leaves a few spike-pixel outliers in the base estimator).
+    # 512 spp leaves a few spike-pixel outliers in the base estimator).
     assert abs(img_base.mean() - img_mis.mean()) < 0.01 * img_base.mean()
     dev = np.abs(img_mis - img_base) / (np.abs(img_base) + 0.05)
     assert (dev < 0.25).mean() > 0.99, (dev.max(), (dev >= 0.25).sum())

@@ -44,6 +44,22 @@ def test_render_resume_roundtrip(tmp_path):
     np.testing.assert_allclose(np.load(out2), full, atol=1e-6)
 
 
+def test_configs_dir_matches_presets():
+    """configs/*.json must equal config.py:PRESETS exactly (r2 verdict
+    weak 1: drifted on-disk presets silently measured the slow path).
+    Regenerate with scripts/regen_configs.py when PRESETS changes."""
+    from pathtracer_tpu.config import PRESETS, RenderConfig
+
+    cfg_dir = os.path.join(ROOT, "configs")
+    on_disk = {
+        f[:-5] for f in os.listdir(cfg_dir) if f.endswith(".json")
+    }
+    assert on_disk == set(PRESETS), (on_disk, set(PRESETS))
+    for name, cfg in PRESETS.items():
+        with open(os.path.join(cfg_dir, f"{name}.json")) as f:
+            assert RenderConfig.from_json(f.read()) == cfg, name
+
+
 def test_fit_smoke():
     r = _run(["fit", "--width", "16", "--height", "16", "--spp", "1",
               "--depth", "1", "--scene", "cornell_spheres", "--no-bvh",

@@ -3,8 +3,10 @@ Pallas interpret mode on CPU.
 
 Contract: identical hit set to engine/intersect.py:brute (same multiply-
 form predicate as the dense cluster kernel), for scenes of any size —
-exactness is guaranteed by the candidate-overflow fallback to the jnp
-BVH walk, which these tests exercise explicitly.
+exactness comes from the wrapper's lax.while_loop over K-candidate
+ROUNDS with a per-block resolution test (worst case ceil(C/K) rounds ==
+visiting every culled cluster; no fallback path). These tests exercise
+small round windows explicitly so multi-round resolution is covered.
 """
 
 import numpy as np
