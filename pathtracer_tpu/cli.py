@@ -128,7 +128,22 @@ def cmd_render(args) -> int:
         acc = acc.reshape(-1, 3).copy()
         print(f"resumed at {spp_done}/{cfg.spp} spp from {args.resume}")
 
-    chunk = args.checkpoint_every or (cfg.spp_chunk or cfg.spp)
+    out = args.out or "render.png"
+    # Progressive preview (the headless analogue of the reference's
+    # interactive progressive display, SURVEY.md §2.1 R7/R10): every
+    # --preview-every spp, overwrite <out>.preview.png with the running
+    # average — a long render can be watched converging, and samples are
+    # keyed by absolute spp index so previews never perturb the final
+    # image (chunked accumulation is exact, engine/wavefront.py).
+    preview_path = None
+    if args.preview_every:
+        stem, ext = os.path.splitext(out)
+        preview_path = stem + ".preview" + (ext if ext == ".npy" else ".png")
+
+    chunk = min(
+        x for x in (args.checkpoint_every, args.preview_every,
+                    cfg.spp_chunk or cfg.spp) if x
+    )
     while spp_done < cfg.spp:
         n = min(chunk, cfg.spp - spp_done)
         part = np.asarray(
@@ -137,16 +152,27 @@ def cmd_render(args) -> int:
         )
         acc += part
         spp_done += n
-        if args.checkpoint:
+        done = spp_done >= cfg.spp
+        if args.checkpoint and (
+            done or not args.checkpoint_every
+            or spp_done % args.checkpoint_every == 0
+        ):
             fb.save_accumulator(args.checkpoint, acc, spp_done,
                                 {"cfg": cfg.to_json()})
             print(f"checkpointed {spp_done}/{cfg.spp} spp")
+        if preview_path and (done or spp_done % args.preview_every == 0):
+            pimg = (acc / spp_done).reshape(cfg.height, cfg.width, 3)
+            if preview_path.endswith(".npy"):
+                fb.write_npy(preview_path, pimg)
+            else:
+                fb.write_png(preview_path, pimg)
+            print(f"preview {spp_done}/{cfg.spp} spp -> {preview_path} "
+                  f"({time.time() - t0:.1f}s)")
     img = (acc / cfg.spp).reshape(cfg.height, cfg.width, 3)
     dt = time.time() - t0
     print(f"rendered {cfg.width}x{cfg.height} {cfg.spp}spp "
           f"depth{cfg.max_depth} in {dt:.2f}s")
 
-    out = args.out or "render.png"
     if out.endswith(".npy"):
         fb.write_npy(out, img)
     else:
@@ -241,6 +267,9 @@ def main(argv=None) -> int:
                     help="spp per checkpointed chunk")
     pr.add_argument("--resume", default=None,
                     help="resume from an accumulator checkpoint")
+    pr.add_argument("--preview-every", type=int, default=None,
+                    help="dump a converging <out>.preview image every N "
+                    "spp (progressive-display analogue)")
     pr.set_defaults(fn=cmd_render)
 
     pf = sub.add_parser("fit", help="inverse rendering: fit materials")
