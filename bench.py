@@ -46,7 +46,7 @@ def main() -> int:
     ap.add_argument("--budget", type=float, default=60.0,
                     help="wall-clock seconds of timed measurement")
     ap.add_argument("--backend", default=None,
-                    choices=["jnp", "pallas", "cluster", "stream"],
+                    choices=["jnp", "pallas", "cluster", "stream", "grid"],
                     help="override cfg.backend")
     ap.add_argument("--compact", action="store_true",
                     help="enable stream compaction between bounces")
@@ -91,6 +91,10 @@ def main() -> int:
         scene = with_bvh(scene)
     if cfg.backend in ("cluster", "stream"):
         scene = with_clusters(scene)
+    elif cfg.backend == "grid":
+        from pathtracer_tpu.accel.grid import with_grid
+
+        scene = with_grid(scene)
     scene = scene_to_device(scene)
     dev = jax.devices()[0]
 

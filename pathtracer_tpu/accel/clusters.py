@@ -94,25 +94,23 @@ def _median_split_clusters(tri_lo, tri_hi, max_tris: int) -> list[np.ndarray]:
     return out
 
 
-def build_clusters(v0, e1, e2, max_tris: int = CLUSTER_TRIS) -> ClusterSet:
-    """Cluster triangles (v0, v0+e1, v0+e2) and precompute feature columns."""
+def cluster_tables(groups: list[np.ndarray], v0, e1, e2) -> ClusterSet:
+    """Feature-column tables for an EXPLICIT cluster decomposition.
+
+    `groups` is any list of triangle-id arrays, each of length
+    <= CLUSTER_TRIS; ids MAY repeat across groups (the uniform-grid
+    builder in accel/grid.py duplicates triangles into every cell they
+    overlap — duplicate hits are idempotent under the closest-hit min).
+    Shared by build_clusters (median-split groups) and the grid builder.
+    """
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
-    T = len(v0)
-    if T == 0:
-        return ClusterSet(
-            lo=np.zeros((0, 3), np.float32),
-            hi=np.zeros((0, 3), np.float32),
-            feat=np.zeros((FEAT_ROWS, 0), np.float32),
-            tri_map=np.zeros((0,), np.int32),
-        )
     p1 = v0 + e1
     p2 = v0 + e2
     tri_lo = np.minimum(np.minimum(v0, p1), p2)
     tri_hi = np.maximum(np.maximum(v0, p1), p2)
-
-    clusters = _median_split_clusters(tri_lo, tri_hi, max_tris)
+    clusters = groups
     C = len(clusters)
 
     lo = np.empty((C, 3), np.float32)
@@ -133,6 +131,7 @@ def build_clusters(v0, e1, e2, max_tris: int = CLUSTER_TRIS) -> ClusterSet:
         lo[ci] = tri_lo[ids].min(0)
         hi[ci] = tri_hi[ids].max(0)
         k = len(ids)
+        assert k <= CLUSTER_TRIS, k
         tri_map[ci * CLUSTER_TRIS: ci * CLUSTER_TRIS + k] = ids
         base = ci * CLUSTER_COLS
         # det block: rows 0:3 <- e2 x e1
@@ -152,15 +151,82 @@ def build_clusters(v0, e1, e2, max_tris: int = CLUSTER_TRIS) -> ClusterSet:
     return ClusterSet(lo=lo, hi=hi, feat=feat, tri_map=tri_map)
 
 
-def with_clusters(scene: Scene, max_tris: int = CLUSTER_TRIS) -> Scene:
+def build_clusters(v0, e1, e2, max_tris: int = CLUSTER_TRIS) -> ClusterSet:
+    """Cluster triangles (v0, v0+e1, v0+e2) and precompute feature columns."""
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    if len(v0) == 0:
+        return ClusterSet(
+            lo=np.zeros((0, 3), np.float32),
+            hi=np.zeros((0, 3), np.float32),
+            feat=np.zeros((FEAT_ROWS, 0), np.float32),
+            tri_map=np.zeros((0,), np.int32),
+        )
+    p1 = v0 + e1
+    p2 = v0 + e2
+    tri_lo = np.minimum(np.minimum(v0, p1), p2)
+    tri_hi = np.maximum(np.maximum(v0, p1), p2)
+    groups = _median_split_clusters(tri_lo, tri_hi, max_tris)
+    return cluster_tables(groups, v0, e1, e2)
+
+
+SUPER_GROUP = 32  # clusters per super-cluster (<= 4096 triangles)
+
+
+def build_supers(cl_lo: np.ndarray, cl_hi: np.ndarray,
+                 group: int = SUPER_GROUP):
+    """Group clusters into super-clusters for the per-ray line cull.
+
+    The round-2 big_mesh failure (PROFILE.md "round-3 analysis"): the
+    per-BLOCK interval cull keeps every cluster inside the block's
+    origin-direction CONE, but a ray only crosses the clusters on its
+    LINE — at 16k clusters the cone holds thousands, the line ~dozens.
+    The per-ray fix must stay dense to be TPU-native, so it runs at a
+    coarser granularity: clusters are grouped into supers of <= `group`
+    by the same median-split policy, every RAY is slab-tested against
+    every SUPER box ((R, S) dense — S is ~C/group, small enough to
+    afford), and a cluster survives for a ray block only if SOME ray in
+    the block crosses its super within that ray's own t bounds
+    (ops/intersect_cluster.py:ray_super_mask).
+
+    Returns (su_lo, su_hi, cl_super):
+      su_lo/su_hi: (S, 3) f32 super AABBs = union of member cluster
+          boxes, inflated by a hair so f32 rounding in the per-ray slab
+          test can never exclude a boundary crossing (conservative).
+      cl_super: (C,) i32 cluster -> super id.
+    """
+    C = len(cl_lo)
+    if C == 0:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
+                np.zeros((0,), np.int32))
+    groups = _median_split_clusters(cl_lo, cl_hi, group)
+    S = len(groups)
+    su_lo = np.empty((S, 3), np.float32)
+    su_hi = np.empty((S, 3), np.float32)
+    cl_super = np.empty((C,), np.int32)
+    for si, ids in enumerate(groups):
+        lo = cl_lo[ids].min(0)
+        hi = cl_hi[ids].max(0)
+        pad = 1e-6 * np.maximum(np.abs(lo), np.abs(hi)) + 1e-7
+        su_lo[si] = lo - pad
+        su_hi[si] = hi + pad
+        cl_super[ids] = si
+    return su_lo, su_hi, cl_super
+
+
+def with_clusters(scene: Scene, max_tris: int = CLUSTER_TRIS,
+                  super_group: int = SUPER_GROUP) -> Scene:
     """Scene with cluster tables attached to its Geometry (non-permuting)."""
     g = scene.geometry
     cs = build_clusters(
         np.asarray(g.tri_v0), np.asarray(g.tri_e1), np.asarray(g.tri_e2),
         max_tris,
     )
+    su_lo, su_hi, cl_super = build_supers(cs.lo, cs.hi, super_group)
     g2 = dataclasses.replace(
-        g, cl_lo=cs.lo, cl_hi=cs.hi, cl_feat=cs.feat, cl_map=cs.tri_map
+        g, cl_lo=cs.lo, cl_hi=cs.hi, cl_feat=cs.feat, cl_map=cs.tri_map,
+        su_lo=su_lo, su_hi=su_hi, cl_super=cl_super,
     )
     return dataclasses.replace(scene, geometry=g2)
 

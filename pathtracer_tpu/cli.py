@@ -31,7 +31,7 @@ def _add_cfg_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--depth", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--backend", default=None,
-                   choices=["jnp", "pallas", "cluster", "stream"])
+                   choices=["jnp", "pallas", "cluster", "stream", "grid"])
     p.add_argument("--compact", action="store_true")
     p.add_argument("--no-bvh", action="store_true")
     p.add_argument("--config-json", default=None,
@@ -108,6 +108,10 @@ def _prepare_scene(cfg, args=None):
         from .accel.clusters import with_clusters
 
         scene = with_clusters(scene)
+    elif cfg.backend == "grid":
+        from .accel.grid import with_grid
+
+        scene = with_grid(scene)
     return scene_to_device(scene)
 
 
@@ -291,7 +295,7 @@ def main(argv=None) -> int:
     pb.add_argument("--depth", type=int, default=None)
     pb.add_argument("--spp", type=int, default=None)
     pb.add_argument("--backend", default=None,
-                    choices=["jnp", "pallas", "cluster", "stream"])
+                    choices=["jnp", "pallas", "cluster", "stream", "grid"])
     pb.add_argument("--budget", type=float, default=None)
     pb.add_argument("--compact", action="store_true")
     pb.set_defaults(fn=cmd_bench)

@@ -70,6 +70,16 @@ def _intersector(geom, cfg: RenderConfig):
     # hits at t >= t_max[i] as misses (the cluster kernels exploit it to
     # stop their ordered walk at the light distance — PROFILE.md action
     # 1); implementations that ignore it are equally correct.
+    if cfg.backend == "grid" and geom.gr_cell_start.shape[0] > 1:
+        # Per-ray DDA over the uniform grid (ops/intersect_grid.py) —
+        # the round-3 large-scene path: per-ray traversal order and
+        # termination, no block-shared candidate lists.
+        from ..ops.intersect_grid import closest_hit_grid
+
+        def hit(g, o, d, t_max=None):
+            return closest_hit_grid(g, o, d, t_max=t_max)
+
+        return hit
     if cfg.backend == "stream" and geom.cl_lo.shape[0] > 0:
         # Explicit selection of the HBM-streaming kernel (benchmarking /
         # large scenes); "cluster" picks it automatically on VMEM overflow.

@@ -334,6 +334,39 @@ def _block_cluster_intervals(cl_lo, cl_hi, o, d, block):
     return tnear_lo, tfar_hi
 
 
+def ray_super_mask(su_lo, su_hi, cl_super, o, d, t_max,
+                   block: int = RAY_BLOCK):
+    """(B, C) per-ray line-union cull at super-cluster granularity.
+
+    The per-block interval cull (_block_cluster_intervals) keeps every
+    cluster in the block's origin-direction CONE; a single ray only
+    crosses the clusters on its LINE. At large cluster counts the cone
+    holds thousands while the union of 512 lines holds dozens — the
+    round-2 big_mesh collapse (PROFILE.md). This mask restores per-ray
+    precision while staying fully dense: every ray slab-tests every
+    SUPER box (supers = ~32-cluster groups, accel/clusters.py:
+    build_supers), each against its OWN [T_MIN, t_max] interval, and
+    cluster c survives for block b iff some ray in b crosses super(c).
+
+    Sound: cluster boxes are contained in their (inflated) super box,
+    so a ray that crosses a cluster within its bounds crosses the super
+    too — dropping never loses a hit at t < t_max.
+    """
+    R = o.shape[0]
+    B = R // block
+    tiny = 1e-20
+    dd = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
+    inv = 1.0 / dd
+    t0 = (su_lo[None, :, :] - o[:, None, :]) * inv[:, None, :]  # (R, S, 3)
+    t1 = (su_hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    t_in = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (R, S)
+    t_out = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    tm = jnp.asarray(t_max, jnp.float32)[:, None]
+    crossed = (t_out >= jnp.maximum(t_in, C.T_MIN)) & (t_in <= tm)
+    block_super = crossed.reshape(B, block, -1).any(axis=1)  # (B, S)
+    return block_super[:, cl_super]  # (B, C)
+
+
 def cull_mask(cl_lo, cl_hi, o, d, block: int = RAY_BLOCK):
     """Conservative (n_blocks, C) i32 mask: 0 => no ray in block i can hit
     cluster c."""
@@ -343,7 +376,8 @@ def cull_mask(cl_lo, cl_hi, o, d, block: int = RAY_BLOCK):
 
 
 def cull_candidates(cl_lo, cl_hi, o, d, block: int = RAY_BLOCK,
-                    max_cand: int | None = None, t_max=None):
+                    max_cand: int | None = None, t_max=None,
+                    extra_mask=None):
     """Per-ray-block candidate cluster lists, near-first.
 
     Same conservative interval slab test as cull_mask, additionally
@@ -351,6 +385,7 @@ def cull_candidates(cl_lo, cl_hi, o, d, block: int = RAY_BLOCK,
     ordered front-to-back — the kernels visit them in this order and
     early-terminate on it. With per-ray `t_max` (shadow queries),
     clusters entirely beyond the block's farthest bound are culled too.
+    `extra_mask` ((B, C) bool, e.g. ray_super_mask) is ANDed in.
 
     Returns (cand, count, tnear, overflow):
       cand: (B, K) i32 cluster ids, -1 padded, sorted by tnear_lo
@@ -366,6 +401,8 @@ def cull_candidates(cl_lo, cl_hi, o, d, block: int = RAY_BLOCK,
         B = o.shape[0] // block
         block_tmax = jnp.asarray(t_max, jnp.float32).reshape(B, block)
         hit = hit & (tnear_lo < block_tmax.max(1)[:, None])
+    if extra_mask is not None:
+        hit = hit & extra_mask
     count = hit.sum(axis=1).astype(jnp.int32)  # (B,)
     key = jnp.where(hit, tnear_lo, jnp.inf)
     order = jnp.argsort(key, axis=1)[:, :K].astype(jnp.int32)  # (B, K)
@@ -459,10 +496,18 @@ def closest_hit_cluster(geom, o, d, interpret: bool | None = None,
     rayf = _ray_features(o_p, d_p, t_max_p)
     B = o_p.shape[0] // block
     if use_cull:
+        # Per-ray line cull at super granularity (see ray_super_mask) —
+        # only meaningful when there are >= 2 supers to discriminate.
+        extra = None
+        if geom.su_lo.shape[0] > 1:
+            extra = ray_super_mask(
+                jnp.asarray(geom.su_lo), jnp.asarray(geom.su_hi),
+                jnp.asarray(geom.cl_super), o_p, d_p, t_max_p, block,
+            )
         # K = C: the dense candidate list can never overflow — exact.
         cand, count, tnear, _ = cull_candidates(
             jnp.asarray(geom.cl_lo), jnp.asarray(geom.cl_hi), o_p, d_p,
-            block, t_max=t_max_p,
+            block, t_max=t_max_p, extra_mask=extra,
         )
     else:
         # Visit everything in index order with early exit disabled

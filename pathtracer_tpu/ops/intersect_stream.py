@@ -60,6 +60,7 @@ from .intersect_cluster import (
     _pad_rays,
     _ray_features,
     exit_bound,
+    ray_super_mask,
     split_bf16,
     visit_epilogue,
     visit_q,
@@ -258,6 +259,17 @@ def closest_hit_stream(geom, o, d, interpret: bool | None = None,
     keep = tfar_hi >= jnp.maximum(tnear_lo, C.T_MIN)
     btm = t_max_p.reshape(B, block)
     keep = keep & (tnear_lo < btm.max(1)[:, None])
+    if geom.su_lo.shape[0] > 1:
+        # Per-ray line cull at super-cluster granularity — the round-3
+        # fix for the big_mesh collapse: the block-interval test above
+        # keeps the block's CONE (thousands of clusters at 16k), the
+        # super mask keeps only clusters whose ~32-cluster super box is
+        # crossed by >= 1 ray's LINE within that ray's own t bounds
+        # (intersect_cluster.ray_super_mask).
+        keep = keep & ray_super_mask(
+            jnp.asarray(geom.su_lo), jnp.asarray(geom.su_hi),
+            jnp.asarray(geom.cl_super), o_p, d_p, t_max_p, block,
+        )
     count = keep.sum(axis=1).astype(jnp.int32)  # (B,)
     key = jnp.where(keep, tnear_lo, jnp.inf)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)  # (B, C) near-first

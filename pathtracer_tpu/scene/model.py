@@ -85,6 +85,23 @@ class Geometry:
     cl_hi: jax.Array  # (C, 3) f32 cluster AABB max
     cl_feat: jax.Array  # (16, C*512) f32 feature columns (4 quantities x 128)
     cl_map: jax.Array  # (C*128,) i32 padded slot -> original tri index
+    # Super-cluster tables for the per-ray line cull on large scenes
+    # (accel/clusters.py:build_supers): clusters grouped ~32 at a time;
+    # every ray is slab-tested against every super box so candidate
+    # lists shrink from the block's cone to the union of its rays'
+    # lines (ops/intersect_cluster.py:ray_super_mask). Empty = no supers.
+    su_lo: jax.Array  # (S, 3) f32 super AABB min (slightly inflated)
+    su_hi: jax.Array  # (S, 3) f32 super AABB max
+    cl_super: jax.Array  # (C,) i32 cluster -> super id
+    # Uniform-grid tables for the per-ray DDA intersector
+    # (accel/grid.py + ops/intersect_grid.py). When present, the cl_*
+    # tables above hold the grid's cell-chunk clusters in morton cell
+    # order and gr_cell_start maps each morton cell to its contiguous
+    # cluster-id range. AXIS is inferred from the table length
+    # (AXIS^3 + 1). Empty = no grid built.
+    gr_cell_start: jax.Array  # (AXIS^3 + 1,) i32
+    gr_lo: jax.Array  # (3,) f32 grid box min
+    gr_cell: jax.Array  # (3,) f32 per-axis cell size
 
 
 @_pytree_dataclass
@@ -189,6 +206,12 @@ def make_geometry(
         cl_hi=empty3,
         cl_feat=np.zeros((16, 0), np.float32),
         cl_map=empty1i,
+        su_lo=empty3,
+        su_hi=empty3,
+        cl_super=empty1i,
+        gr_cell_start=empty1i,
+        gr_lo=np.zeros((3,), np.float32),
+        gr_cell=np.ones((3,), np.float32),
     )
 
 

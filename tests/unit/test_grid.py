@@ -1,0 +1,184 @@
+"""Uniform-grid DDA intersector tests (accel/grid.py +
+ops/intersect_grid.py), Pallas interpret mode on CPU.
+
+The grid path is the round-3 large-scene hot path: per-ray traversal
+order and per-ray termination from dense lockstep math (module
+docstrings). Contract: identical hit set to engine/intersect.py:brute
+(t to bf16 hi/lo matmul tolerance, same as the cluster kernels); the
+per-lane early exit and the triangle cell-duplication must never lose
+a hit, for any grid resolution, ray distribution, or per-ray t_max.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pathtracer_tpu import constants as C
+from pathtracer_tpu.accel.grid import (
+    build_grid,
+    check_grid_invariants,
+    with_grid,
+)
+from pathtracer_tpu.engine import intersect as isect
+from pathtracer_tpu.ops.intersect_grid import (
+    closest_hit_grid,
+    dda_cells,
+    grid_axis,
+)
+from pathtracer_tpu.scene import builder
+
+
+@pytest.fixture(scope="module")
+def mesh_scene():
+    return with_grid(builder.cornell_mesh(), axis=8)
+
+
+def _random_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = (rng.random((n, 3)) * 0.9 + 0.05).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+def _tri_bounds(g):
+    v0 = np.asarray(g.tri_v0)
+    p1 = v0 + np.asarray(g.tri_e1)
+    p2 = v0 + np.asarray(g.tri_e2)
+    return (np.minimum(np.minimum(v0, p1), p2),
+            np.maximum(np.maximum(v0, p1), p2))
+
+
+def test_grid_invariants(mesh_scene):
+    g = mesh_scene.geometry
+    tri_lo, tri_hi = _tri_bounds(g)
+    gs = build_grid(np.asarray(g.tri_v0), np.asarray(g.tri_e1),
+                    np.asarray(g.tri_e2), axis=8)
+    check_grid_invariants(gs, tri_lo, tri_hi)
+
+
+def test_grid_matches_brute(mesh_scene):
+    g = mesh_scene.geometry
+    o, d = _random_rays(1500)
+    t_b, n_b, m_b = isect.brute(g, o, d)
+    t_g, n_g, m_g = closest_hit_grid(g, o, d, interpret=True)
+    t_b, t_g = np.asarray(t_b), np.asarray(t_g)
+    hit_b = t_b < C.T_FAR * 0.5
+    hit_g = t_g < C.T_FAR * 0.5
+    np.testing.assert_array_equal(hit_b, hit_g)
+    err = np.abs(t_g[hit_b] - t_b[hit_b])
+    assert np.quantile(err, 0.99) < 2e-5, np.quantile(err, 0.99)
+    np.testing.assert_allclose(t_g[hit_b], t_b[hit_b], rtol=4e-3,
+                               atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(m_g)[hit_b],
+                                  np.asarray(m_b)[hit_b])
+    close_n = np.abs(np.asarray(n_g) - np.asarray(n_b)).max(-1) < 1e-4
+    assert close_n[hit_b].mean() > 0.999
+
+
+@pytest.mark.parametrize("axis", [2, 4, 16])
+def test_grid_resolution_never_changes_results(axis):
+    """Any grid resolution gives the same hit set (coverage is exact at
+    every granularity; only performance differs)."""
+    scene = with_grid(builder.cornell_mesh(), axis=axis)
+    g = scene.geometry
+    o, d = _random_rays(768, seed=axis)
+    t_b, _, m_b = isect.brute(g, o, d)
+    t_g, _, m_g = closest_hit_grid(g, o, d, interpret=True)
+    t_b, t_g = np.asarray(t_b), np.asarray(t_g)
+    hit = t_b < C.T_FAR * 0.5
+    np.testing.assert_array_equal(hit, t_g < C.T_FAR * 0.5)
+    np.testing.assert_allclose(t_g[hit], t_b[hit], rtol=4e-3, atol=2e-4)
+    assert (np.asarray(m_g) == np.asarray(m_b))[hit].all()
+
+
+def test_grid_shadow_tmax_contract(mesh_scene):
+    """Per-ray t_max: hits strictly nearer always found; the dead-lane
+    canonicalization (t_max == T_MIN) yields guaranteed misses."""
+    g = mesh_scene.geometry
+    o, d = _random_rays(1024, seed=7)
+    t_ref, _, _ = isect.brute(g, o, d)
+    t_ref = np.asarray(t_ref)
+    rng = np.random.default_rng(3)
+    t_max = np.where(
+        rng.random(len(o)) < 0.4,
+        t_ref * (1.0 + rng.random(len(o))),
+        np.float32(C.T_FAR),
+    ).astype(np.float32)
+    dead = rng.random(len(o)) < 0.1
+    t_max[dead] = C.T_MIN
+    t_g, _, _ = closest_hit_grid(g, o, d, interpret=True, t_max=t_max)
+    t_g = np.asarray(t_g)
+    assert (t_g[dead] >= C.T_FAR * 0.5).all(), "dead lanes must miss"
+    near = ~dead & (t_ref < C.T_FAR * 0.5) & (t_ref < t_max * 0.999)
+    np.testing.assert_allclose(t_g[near], t_ref[near], rtol=4e-3,
+                               atol=2e-4)
+
+
+def test_dda_covers_brute_hit_cells(mesh_scene):
+    """The DDA path of every hitting ray contains the cell of its brute
+    hit point (the coverage half of the exactness argument)."""
+    from pathtracer_tpu.accel.grid import morton3_np
+
+    g = mesh_scene.geometry
+    axis = grid_axis(g)
+    bits = max(1, int(axis - 1).bit_length())
+    o, d = _random_rays(512, seed=11)
+    t_b, _, _ = isect.brute(g, o, d)
+    t_b = np.asarray(t_b)
+    cells, entry = dda_cells(
+        jnp.asarray(o), jnp.asarray(d),
+        jnp.full((len(o),), C.T_FAR, jnp.float32),
+        jnp.asarray(g.gr_lo), jnp.asarray(g.gr_cell), axis,
+    )
+    cells = np.asarray(cells)
+    entry = np.asarray(entry)
+    lo = np.asarray(g.gr_lo)
+    cell = np.asarray(g.gr_cell)
+    hit = np.nonzero(t_b < C.T_FAR * 0.5)[0]
+    for i in hit:
+        p = o[i] + t_b[i] * d[i]
+        cc = np.clip(np.floor((p - lo) / cell).astype(np.int64), 0,
+                     axis - 1)
+        m = int(morton3_np(cc[0], cc[1], cc[2], bits))
+        path = cells[:, i]
+        assert m in set(path[path >= 0].tolist()), (i, m, path)
+    # Entries are nondecreasing along every ray (early-exit soundness);
+    # invalid steps are a +INF sentinel and only ever follow valid ones.
+    valid = entry < 1e37
+    de = np.diff(entry, axis=0)
+    both = valid[:-1] & valid[1:]
+    assert (de[both] >= -1e-6).all()
+    assert not (valid[1:] & ~valid[:-1]).any(), "invalid must be a suffix"
+
+
+def test_grid_spheres_merge():
+    scene = with_grid(builder.cornell_spheres(), axis=4)
+    g = scene.geometry
+    o, d = _random_rays(512, seed=5)
+    t_b, _, m_b = isect.brute(g, o, d)
+    t_g, _, m_g = closest_hit_grid(g, o, d, interpret=True)
+    np.testing.assert_allclose(np.asarray(t_g), np.asarray(t_b),
+                               rtol=4e-3, atol=2e-4)
+    assert (np.asarray(m_b) == np.asarray(m_g)).mean() > 0.999
+
+
+def test_grid_in_engine_matches_jnp_backend():
+    """Full engine render with backend='grid' == backend='jnp'."""
+    from pathtracer_tpu.accel.build import with_bvh
+    from pathtracer_tpu.config import RenderConfig
+    from pathtracer_tpu.engine import wavefront
+
+    scene = with_grid(with_bvh(builder.cornell_mesh()), axis=8)
+    cfg = RenderConfig(width=48, height=48, spp=1, max_depth=2,
+                       scene="cornell_mesh", backend="jnp")
+    img_j = np.asarray(wavefront.render(scene, cfg))
+    img_g = np.asarray(
+        wavefront.render(scene, cfg.replace(backend="grid"))
+    )
+    # Tie-broken grazing hits may pick a different equal-t triangle and
+    # flip a whole path; allow the same small pixel tail as the other
+    # kernel-backend equivalence tests.
+    bad = np.abs(img_g - img_j) > 2e-3 + 2e-3 * np.abs(img_j)
+    assert bad.any(-1).mean() < 0.002, bad.any(-1).mean()
