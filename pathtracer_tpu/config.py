@@ -38,10 +38,12 @@ class RenderConfig:
         arbitrarily large spp (SURVEY.md §5.7). 0 means all spp in one pass.
       use_bvh: traverse the flat BVH (vs brute-force all triangles).
       backend: "cluster" (dense MXU cluster intersector — the fast TPU
-        path, ops/intersect_cluster.py; auto-switches to the HBM-streaming
-        variant when the table exceeds VMEM), "stream" (force the
-        HBM-streaming kernel, ops/intersect_stream.py), "jnp" (pure-JAX
-        BVH traversal), or "pallas" (packet traversal kernel).
+        path for VMEM-sized scenes, ops/intersect_cluster.py;
+        auto-switches to the HBM-streaming variant when the table
+        exceeds VMEM), "grid" (per-ray DDA over a uniform grid — the
+        fast LARGE-scene path, ops/intersect_grid.py), "stream" (force
+        the HBM-streaming kernel, ops/intersect_stream.py), "jnp"
+        (pure-JAX BVH traversal), or "pallas" (packet traversal kernel).
       compact: stream-compact the active-ray buffer between bounces.
       mis: multiple importance sampling (power heuristic) between NEE and
         cosine-BSDF sampling at diffuse vertices (SURVEY.md §3.1
@@ -103,11 +105,12 @@ PRESETS: dict[str, RenderConfig] = {
         use_bvh=False,
     ),
     # 5. Multi-host: 2M-triangle scene, tiles+rays sharded, grads allreduced.
-    # backend="cluster" auto-selects the HBM-streaming kernel here (the
-    # 64MB-in-VMEM dense table cannot fit; ops/intersect_stream.py).
+    # backend="grid" is the round-3 per-ray DDA path
+    # (ops/intersect_grid.py): 120k rays/s/chip measured vs 58k for the
+    # block-list streaming kernel and 21k for round-2 (bench_metrics).
     "config5": RenderConfig(
         width=1024, height=1024, spp=1, max_depth=4, scene="big_mesh",
-        use_bvh=True, spp_chunk=1, backend="cluster",
+        use_bvh=True, spp_chunk=1, backend="grid",
     ),
     # The primary benchmark metric config (BASELINE.json:2):
     # rays/s/chip at 1spp 1024x1024 Cornell-mesh. backend="cluster" is the

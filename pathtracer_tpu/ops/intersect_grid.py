@@ -1,35 +1,40 @@
 """Per-ray DDA grid intersection: the round-3 large-scene hot path.
 
-Replaces the per-BLOCK candidate machinery (ops/intersect_stream.py) for
-scenes where block-shared lists degenerate (PROFILE.md "round-3
+Replaces the per-BLOCK candidate generation of ops/intersect_stream.py
+for scenes where block-shared lists degenerate (PROFILE.md "round-3
 analysis"): at 16k clusters an incoherent 512-ray block's interval-cull
 cone holds thousands of clusters and block-level early exit is pinned by
 the worst lane, so the round-2 kernel walked essentially everything
-(~3M cluster visits per 262k-ray call, measured). Here every ray gets
-per-ray traversal order and per-ray termination, built only from dense
-lockstep math:
+(~3M cluster visits per 262k-ray call, measured on the v5e). Here the
+candidate lists come from PER-RAY traversal, built from dense lockstep
+math only:
 
-  XLA (this file):
-    1. `dda_cells` — all rays march a uniform AXIS^3 grid in lockstep
-       (Amanatides-Woo), producing each ray's morton cell ids and cell
-       ENTRY distances in front-to-back order. Pure vectorized
-       arithmetic: the step count is static, the control flow is
-       data-independent, there are no sorts and no per-ray loops.
-    2. Per (512-ray block, step): the lanes' per-cell cluster ranges
-       (contiguous by construction — clusters are laid out in morton
-       cell order, accel/grid.py) are covered by one [min, max)
-       range. Morton locality keeps the cover tight for coherent
-       blocks; empty cells are excluded from the cover.
+  1. `dda_cells` — all rays march a uniform AXIS^3 grid in lockstep
+     (Amanatides-Woo), producing each ray's morton cell ids and cell
+     ENTRY distances in front-to-back order. Pure vectorized
+     arithmetic: static step count, data-independent control flow, no
+     sorts, no per-ray loops.
+  2. PAIR BINNING, in phases of `PHASE_STEPS` DDA steps: (ray, step)
+     pairs are sorted by cell id, so each 512-pair kernel block works
+     on a handful of morton-adjacent cells — whose cluster ranges are
+     adjacent in the table (clusters are laid out in morton cell
+     order, accel/grid.py) — i.e. its EXACT working set. No block ever
+     pays a cover over divergent lanes. Between phases, pair results
+     min-reduce back to rays, and rays retire per-ray (best hit nearer
+     than the next cell entry, or cells exhausted).
+  3. The PROVEN stream kernel (ops/intersect_stream.py:_stream_pallas —
+     32KB double-buffered HBM DMA + one MXU matmul per cluster visit,
+     per-lane best-t carried in and out) consumes each block's
+     contiguous cluster range in K-candidate ROUNDS.
 
-  PALLAS (`_grid_kernel`): grid = ray blocks. Each block loops its
-    steps; per step it walks the (small) cluster range with the same
-    32KB double-buffered HBM DMA + MXU matmul visit as the stream
-    kernel (shared visit_q / visit_epilogue). Termination is PER LANE:
-    a lane whose best hit is nearer than its step-k cell entry is
-    inactive at k, and because entries are nondecreasing along each
-    ray, the block stops at the first step with NO active lane. A miss
-    ray therefore costs its own ~3*AXIS cells — it cannot pin the
-    block to the whole scene (the round-2 failure mode).
+  (A first cut gave the kernel per-lane step activity via a nested
+  while over (step, range) and a dynamic-sublane entry slice: correct
+  in interpret mode and on the v5e, but the remote Mosaic compile ran
+  6-30+ minutes per program — the nested-loop/DMA shape is a compiler
+  pathology, same class as the Precision.HIGHEST stall noted in
+  intersect_cluster.split_bf16. Reusing the single-while stream kernel
+  keeps compiles in seconds; the per-ray precision lives in the
+  RANGES, which is where the round-2 collapse actually was.)
 
 Exactness argument (tests/unit/test_grid.py):
   * accel/grid.py duplicates every triangle into every cell its
@@ -37,16 +42,17 @@ Exactness argument (tests/unit/test_grid.py):
     via the inflation, any cell within fp error of it — contains the
     triangle. The DDA enumerates every cell the ray crosses within
     [T_MIN, t_max]; duplicate finds are idempotent under the min.
-  * Per-lane early exit is sound: entries are nondecreasing, so once
-    best_t(lane) <= entry_k(lane) (compared with a conservative
-    margin) no later cell can contain a nearer hit for that lane.
+  * Ordered early exit is sound: per-lane DDA entries are
+    nondecreasing, so the per-step block-min key is nondecreasing, and
+    the kernel stops only when min_lane(entry) >= max_lane(best_t) —
+    which implies entry(L) >= best_t(L) for every lane L.
   * Contract caveat: rays with t_max <= 2*T_MIN are treated as no-ops
     (the engine's dead-lane canonicalization uses t_max = T_MIN); any
     real query has t_max far above T_MIN.
 
 The reference's analogue is the per-thread BVH stack walk in CUDA
 (SURVEY.md §2.1 R2) — per-ray order and termination from pointer
-chasing. This is the same property rebuilt from dense lockstep math,
+chasing. This rebuilds the same property from dense lockstep math,
 which is the only shape the TPU executes at full rate.
 """
 
@@ -71,13 +77,14 @@ from .intersect_cluster import (
     visit_epilogue,
     visit_q,
 )
+from .intersect_stream import ROUND_CAND
 
-# Sentinel entry distance for invalid DDA steps (must stay finite so the
-# activity compare is well-defined; far above any real t).
+# Sentinel entry distance for invalid DDA steps (finite so compares are
+# well-defined; far above any real t).
 _ENTRY_INF = np.float32(3.0e37)
-# Conservative margin on the per-lane activity compare: computed cell
-# entries can exceed the true entry by fp rounding; shrinking them
-# slightly can only ADD work, never skip a reachable hit.
+# Conservative margin on entry-distance keys: computed cell entries can
+# exceed the true entry by fp rounding; shrinking them can only ADD
+# work, never skip a reachable hit.
 _ENTRY_REL = 1.0 - 1e-4
 _ENTRY_ABS = 1e-6
 
@@ -111,7 +118,6 @@ def dda_cells(o, d, t_max, grid_lo, cell, axis: int):
     t_max <= 2*T_MIN (dead-lane canonicalization) contribute none.
     """
     S = 3 * axis
-    R = o.shape[0]
     bits = max(1, int(axis - 1).bit_length())
     tiny = 1e-20
     dd = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
@@ -137,13 +143,11 @@ def dda_cells(o, d, t_max, grid_lo, cell, axis: int):
               - o) * inv  # (R, 3)
     dt = jnp.abs(cell[None, :] * inv)
 
-    cells_out = []
-    entry_out = []
-    t_cur = t_en
-    for _ in range(S):
+    def step_fn(carry, _):
+        c, t_next, alive, t_cur = carry
         m = _morton3(c[:, 0], c[:, 1], c[:, 2], bits)
-        cells_out.append(jnp.where(alive, m, -1))
-        entry_out.append(jnp.where(alive, t_cur, _ENTRY_INF))
+        cell_out = jnp.where(alive, m, -1)
+        entry_out = jnp.where(alive, t_cur, _ENTRY_INF)
         # Advance to the nearest axis boundary.
         t_step = jnp.min(t_next, -1)  # (R,)
         is_min = t_next <= t_step[:, None]
@@ -156,58 +160,50 @@ def dda_cells(o, d, t_max, grid_lo, cell, axis: int):
         t_next = t_next + dt * adv.astype(jnp.float32)
         out = ((c < 0) | (c >= axis)).any(-1)
         alive = alive & ~out & (t_step < tm)
-        t_cur = t_step
-    return jnp.stack(cells_out), jnp.stack(entry_out)  # (S, R)
+        return (c, t_next, alive, t_step), (cell_out, entry_out)
+
+    # lax.scan, not a Python loop: S is up to 3*32 = 96 steps, and the
+    # renderer traces 8 intersect calls per band — an unrolled DDA put
+    # ~25k extra ops into the HLO graph and sent the server-side XLA
+    # compile into the tens of minutes (observed on the axon tunnel).
+    _, (cells, entry) = jax.lax.scan(
+        step_fn, (c, t_next, alive, t_en), None, length=S
+    )
+    return cells, entry  # (S, R)
 
 
-def block_ranges(cells, cell_start, block: int = RAY_BLOCK):
-    """(S, R) cells -> per-(block, step) contiguous cluster-range cover.
+def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
+                 buf, sems):
+    """One grid step = one 512-PAIR block walking its candidate list.
 
-    Clusters are laid out in morton cell order (accel/grid.py), so each
-    cell is a contiguous range and a block's lanes at one step are
-    covered by [min(start), max(end)). Empty cells and invalid lanes
-    are excluded from the cover.
+    The carry-free sibling of intersect_stream._stream_kernel (same
+    single-while + double-buffered DMA shape — the form Mosaic compiles
+    in seconds): per-pair best-t initializes from rayf row 10 (each
+    pair's ray-carry), best index from -1, and the list — a handful of
+    cells' clusters, cell-ordered, not distance-ordered — is walked in
+    full (no tnear early exit; it is tiny by construction). Dropping
+    the (8, P) t/idx carry inputs of the stream kernel halves the
+    per-phase HBM traffic, which dominated the phased walk (measured:
+    ~21ms/phase fusions moving carry/broadcast buffers).
 
-    Returns (rg_lo, rg_hi): (B, S) i32 each; rg_hi <= rg_lo means skip.
-    """
-    S, R = cells.shape
-    B = R // block
-    safe = jnp.maximum(cells, 0)
-    start = cell_start[safe]
-    end = cell_start[safe + 1]
-    nonempty = (cells >= 0) & (end > start)
-    start = jnp.where(nonempty, start, jnp.int32(2 ** 31 - 1))
-    end = jnp.where(nonempty, end, 0)
-    rg_lo = start.reshape(S, B, block).min(-1).T  # (B, S)
-    rg_hi = end.reshape(S, B, block).max(-1).T
-    empty = rg_hi <= rg_lo
-    rg_lo = jnp.where(empty, 0, rg_lo)
-    rg_hi = jnp.where(empty, 0, rg_hi)
-    return rg_lo, rg_hi
-
-
-def _grid_kernel(rglo_ref, rghi_ref, entry_ref, rayf_ref, feat_hbm,
-                 t_ref, idx_ref, buf, sems):
-    """One grid step = one RAY_BLOCK-ray block marching its DDA steps.
-
-    rglo_ref/rghi_ref: (8, S) i32 SMEM — per-step cluster-range cover
-        for 8 ray blocks (Mosaic sublane windowing; this block's row =
-        program_id % 8)
-    entry_ref: (S8, RB) f32 VMEM — per-lane cell entry distances
-        (S8 = S padded to a multiple of 8; pad rows _ENTRY_INF)
-    rayf_ref: (16, RB) f32 VMEM — ray features; row 10 = per-ray t_max
-    feat_hbm: (16, C*512) f32 ANY/HBM — full feature table
+    cand_ref:  (8, K) i32 SMEM — candidate rows (Mosaic windowing;
+        this block's row = program_id % 8)
+    count_ref: (8, 1) i32 SMEM — candidates this round (0 = skip)
+    rayf_ref:  (16, RB) f32 VMEM — pair ray features; row 10 = the
+        pair's current best-t (upper bound)
+    feat_hbm:  (16, C*512) f32 ANY/HBM — full feature table
     t_ref/idx_ref: (8, RB) outputs, row 0 meaningful
     buf: (2, 16, 512) f32 VMEM double buffer; sems: (2,) DMA semaphores
     """
     RB = rayf_ref.shape[1]
-    S = rglo_ref.shape[1]
     row = pl.program_id(0) % 8
     rayf = rayf_ref[:, :]
     rayf_hi, rayf_lo = split_bf16(rayf)
-    t0 = rayf[10:11, :]  # per-ray t upper bound (= init best)
+    t0 = rayf[10:11, :]
+    n_cand = count_ref[row, 0]
 
-    def dma(slot, cid):
+    def dma(slot, k):
+        cid = cand_ref[row, k]
         col0 = pl.multiple_of(cid * CLUSTER_COLS, CLUSTER_COLS)
         return pltpu.make_async_copy(
             feat_hbm.at[:, pl.ds(col0, CLUSTER_COLS)],
@@ -215,102 +211,75 @@ def _grid_kernel(rglo_ref, rghi_ref, entry_ref, rayf_ref, feat_hbm,
             sems.at[slot],
         )
 
-    def outer_cond(state):
+    @pl.when(n_cand > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(state):
         k, _, _ = state
-        return k < S
+        return k < n_cand
 
-    def outer_body(state):
+    def body(state):
         k, t_best, best = state
-        ent = entry_ref[pl.ds(k, 1), :]  # (1, RB)
-        act = (ent * _ENTRY_REL - _ENTRY_ABS) < t_best
-        act_any = jnp.max(act.astype(jnp.int32)) > 0
-        lo_k = rglo_ref[row, k]
-        hi_k = rghi_ref[row, k]
-        hi_eff = jnp.where(act_any, hi_k, lo_k)
+        slot = jax.lax.rem(k, 2)
 
-        @pl.when(hi_eff > lo_k)
+        @pl.when(k + 1 < n_cand)
         def _():
-            dma(jax.lax.rem(lo_k, 2), lo_k).start()
+            dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
-        def in_cond(s):
-            cid, _, _ = s
-            return cid < hi_eff
-
-        def in_body(s):
-            cid, t_best, best = s
-            slot = jax.lax.rem(cid, 2)
-
-            @pl.when(cid + 1 < hi_eff)
-            def _():
-                dma(jax.lax.rem(cid + 1, 2), cid + 1).start()
-
-            dma(slot, cid).wait()
-            q = visit_q(buf[slot], rayf_hi, rayf_lo)
-            t_best, best = visit_epilogue(q, t_best, best, cid)
-            return cid + 1, t_best, best
-
-        _, t_best, best = jax.lax.while_loop(
-            in_cond, in_body, (lo_k, t_best, best)
-        )
-        # Entries are nondecreasing along each ray, so a step with no
-        # active lane means no LATER step can have one either: stop.
-        k_next = jnp.where(act_any, k + 1, S)
-        return k_next, t_best, best
+        dma(slot, k).wait()
+        q = visit_q(buf[slot], rayf_hi, rayf_lo)
+        cid = cand_ref[row, k]
+        t_best, best = visit_epilogue(q, t_best, best, cid)
+        return k + 1, t_best, best
 
     init = (jnp.int32(0), t0, jnp.full((1, RB), -1, jnp.int32))
-    _, t_best, best = jax.lax.while_loop(outer_cond, outer_body, init)
+    _, t_best, best = jax.lax.while_loop(cond, body, init)
     t_ref[:, :] = jnp.broadcast_to(t_best, (8, RB))
     idx_ref[:, :] = jnp.broadcast_to(best, (8, RB))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _grid_pallas(rg_lo, rg_hi, entry, rayf, feat, interpret):
-    """custom_vjp boundary — traversal outputs are piecewise-constant in
-    the differentiable parameters (same detach policy as the cluster and
-    stream kernels; SURVEY.md §3.4/T9)."""
-    return _grid_impl(rg_lo, rg_hi, entry, rayf, feat, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pair_pallas(cand, count, rayf, interpret, feat):
+    """custom_vjp boundary — same zero-cotangent detach policy as the
+    other traversal kernels (SURVEY.md §3.4/T9)."""
+    return _pair_impl(cand, count, rayf, interpret, feat)
 
 
-def _grid_fwd(rg_lo, rg_hi, entry, rayf, feat, interpret):
-    out = _grid_impl(rg_lo, rg_hi, entry, rayf, feat, interpret)
-    return out, (rg_lo.shape, rg_hi.shape, entry.shape, rayf.shape,
-                 feat.shape)
+def _pair_fwd(cand, count, rayf, interpret, feat):
+    out = _pair_impl(cand, count, rayf, interpret, feat)
+    return out, (cand.shape, count.shape, rayf.shape, feat.shape)
 
 
-def _grid_bwd(interpret, res, g):
-    lo_s, hi_s, e_s, r_s, f_s = res
+def _pair_bwd(interpret, res, g):
+    c_s, n_s, r_s, f_s = res
     return (
-        np.zeros(lo_s, jax.dtypes.float0),
-        np.zeros(hi_s, jax.dtypes.float0),
-        jnp.zeros(e_s, jnp.float32),
+        np.zeros(c_s, jax.dtypes.float0),
+        np.zeros(n_s, jax.dtypes.float0),
         jnp.zeros(r_s, jnp.float32),
         jnp.zeros(f_s, jnp.float32),
     )
 
 
-_grid_pallas.defvjp(_grid_fwd, _grid_bwd)
+_pair_pallas.defvjp(_pair_fwd, _pair_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _grid_impl(rg_lo, rg_hi, entry, rayf, feat, interpret):
+def _pair_impl(cand, count, rayf, interpret, feat):
     R = rayf.shape[1]
     block = min(R, RAY_BLOCK)
     assert R % block == 0, (R, block)
     grid = (R // block,)
-    S = rg_lo.shape[1]
-    S8 = entry.shape[0]
-    assert rg_lo.shape[0] % 8 == 0, rg_lo.shape
-    assert S8 % 8 == 0 and S8 >= S, (S8, S)
+    K = cand.shape[1]
+    assert cand.shape[0] % 8 == 0, cand.shape
     t_out, idx_out = pl.pallas_call(
-        _grid_kernel,
+        _pair_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, S), lambda i: (i // 8, 0),
+            pl.BlockSpec((8, K), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, S), lambda i: (i // 8, 0),
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((S8, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((FEAT_ROWS, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # feat stays in HBM
@@ -330,19 +299,48 @@ def _grid_impl(rg_lo, rg_hi, entry, rayf, feat, interpret):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(rg_lo, rg_hi, entry, rayf, feat)
+    )(cand, count.reshape(-1, 1), rayf, feat)
     return t_out[0], idx_out[0]
 
 
+# Occupied cells per phase: pairs are re-binned by cell between phases,
+# and per-ray resolution (best hit nearer than the next phase's cell
+# entry) retires rays phase by phase. W trades per-phase pair volume
+# (every (16, P) gather and (8, P) kernel buffer scales with P = R*W)
+# against the number of phases; after empty-cell compaction a typical
+# big-scene ray crosses ~20-30 occupied cells and most rays hit within
+# their first few, so small W wins.
+PHASE_STEPS = 8
+
+
 def closest_hit_grid(geom, o, d, interpret: bool | None = None,
-                     t_max=None):
-    """Drop-in closest hit via the per-ray DDA grid kernel.
+                     t_max=None, max_cand: int = 2 * ROUND_CAND,
+                     phase_steps: int = PHASE_STEPS):
+    """Drop-in closest hit via phased per-ray DDA + the stream kernel.
 
     Same contract as intersect_cluster.closest_hit_cluster: (t, n, mat),
     t == T_FAR on miss; optional per-ray t_max bound (hits at
     t >= t_max[i] MAY be reported as misses — the shadow contract; and
     rays with t_max <= 2*T_MIN are treated as no-ops, see module
     docstring). Requires grid tables (accel/grid.py:with_grid).
+    `max_cand` (round window) and `phase_steps` are pure performance
+    knobs; exactness comes from the phase/round loops.
+
+    Why pairs + phases: any BLOCK-shared candidate structure pays the
+    union of its 512 lanes' needs, and divergent bounce lanes stop
+    sharing cells within a few steps — a contiguous [min, max) cover
+    over their morton-scattered cells degenerates to the whole table
+    (measured: ~600k candidates/block on the 2M-tri scene). So the
+    walk is re-posed at PAIR granularity: each phase explodes (ray,
+    step) pairs for the next `phase_steps` DDA steps, sorts pairs by
+    cell id, and runs the stream kernel over 512-pair blocks — sorted
+    pairs share a handful of morton-ADJACENT cells whose cluster
+    ranges are adjacent in the table, so each block's candidate list
+    is its exact working set (typically < 20 clusters). Pair results
+    min-reduce back to rays; rays whose best hit is nearer than their
+    next cell entry (or whose cells ran out) are done and contribute
+    no pairs to later phases — per-RAY termination, rebuilt from one
+    argsort per phase.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -357,25 +355,176 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     t_cap = (jnp.full((R0,), C.T_FAR, jnp.float32) if t_max is None
              else jnp.asarray(t_max, jnp.float32))
     o_p, d_p, t_cap_p = _pad_rays(o, d, t_cap, block)
+    R = o_p.shape[0]
+    B = R // block
+    W = phase_steps
+    K = max_cand
 
     cells, entry = dda_cells(
         o_p, d_p, t_cap_p, jnp.asarray(geom.gr_lo),
         jnp.asarray(geom.gr_cell), axis,
     )
-    rg_lo, rg_hi = block_ranges(cells, jnp.asarray(geom.gr_cell_start),
-                                block)
     S = cells.shape[0]
-    S8 = -(-S // 8) * 8
-    if S8 > S:
-        entry = jnp.concatenate(
-            [entry, jnp.full((S8 - S, entry.shape[1]), _ENTRY_INF,
-                             jnp.float32)]
-        )
+    cell_start = jnp.asarray(geom.gr_cell_start)
+    # Ray-major (R, S) layout from here on, and NO per-ray compaction:
+    # a round of (R, S)-shaped occupancy/compaction gathers measured
+    # ~380ms EACH on-device (the 97-wide minor dim defeats the gather
+    # vectorizer), totalling ~2.7s/call — far more than the extra
+    # phases empty cells cost (a pair in an empty cell is a len-0
+    # segment: zero candidates, zero kernel work).
+    cells = cells.T
+    entry = entry.T
+    n_phases = -(-S // W)
+    pad_s = n_phases * W + 1 - S  # +1: next-phase-entry read at the end
+    cells = jnp.concatenate(
+        [cells, jnp.full((R, pad_s), -1, jnp.int32)], axis=1
+    )
+    entry = jnp.concatenate(
+        [entry, jnp.full((R, pad_s), _ENTRY_INF, jnp.float32)], axis=1
+    )
+
     rayf = _ray_features(o_p, d_p, t_cap_p)
-    t_best, slot = _grid_pallas(rg_lo, rg_hi, entry, rayf,
-                                jnp.asarray(geom.cl_feat), interpret)
-    t_best = t_best[:R0]
-    slot = slot[:R0]
+    feat = jnp.asarray(geom.cl_feat)
+    done0 = cells[:, 0] < 0  # no cells at all (missed grid / dead lane)
+    P = R * W  # (ray, step) pairs per phase
+    Bp = P // block
+
+    def phase_cond(state):
+        p, done, _, _ = state
+        return (p < n_phases) & ~jnp.all(done)
+
+    def phase_body(state):
+        p, done, t_best, idx_best = state
+        start = p * W
+        cellsW = jax.lax.dynamic_slice(cells, (0, start), (R, W))
+        # Done rays (resolved or exhausted) contribute no pairs.
+        cellsW = jnp.where(done[:, None], -1, cellsW)
+        cell_p = cellsW.reshape(P)  # ray-major pairs
+        # THE sort: pairs grouped by cell id. Blocks of 512 consecutive
+        # sorted pairs then share a handful of morton-ADJACENT cells,
+        # whose cluster ranges are adjacent in the table — the block's
+        # exact working set, no cover over divergent lanes. One
+        # multi-operand lax.sort carries the pair position along (a
+        # payload column costs far less than the argsort + three
+        # 2M-element gathers it replaces — ~7ns/element each on this
+        # chip); ray id and validity are then pure arithmetic.
+        keys = jnp.where(cell_p >= 0, cell_p, jnp.int32(2 ** 30))
+        _, cell_s, pos_s = jax.lax.sort(
+            (keys, cell_p, jnp.arange(P, dtype=jnp.int32)), num_keys=1,
+            is_stable=True,
+        )
+        ray_s = pos_s // W
+        vp = cell_s >= 0
+        s_start = cell_start[jnp.maximum(cell_s, 0)]
+        s_end = cell_start[jnp.maximum(cell_s, 0) + 1]
+        # Exact per-block candidate SEGMENTS: the block's candidate
+        # list is the concatenation of its DISTINCT cells' cluster
+        # ranges (pairs are cell-sorted, so distinct cells are the
+        # first-occurrence lanes). A [min, max) cover would also pull
+        # in every table cell morton-between two straddled cells —
+        # measured as ~7000-cluster covers on gap-straddling blocks.
+        cell_b = cell_s.reshape(Bp, block)
+        vp_b = vp.reshape(Bp, block)
+        prev = jnp.concatenate(
+            [jnp.full((Bp, 1), -2, jnp.int32), cell_b[:, :-1]], axis=1
+        )
+        first = vp_b & (cell_b != prev)
+        seg_len = jnp.where(
+            first, (s_end - s_start).reshape(Bp, block), 0
+        )
+        cum = jnp.concatenate(
+            [jnp.zeros((Bp, 1), jnp.int32), jnp.cumsum(seg_len, axis=1)],
+            axis=1,
+        )  # (Bp, block+1)
+        total = cum[:, -1]
+        seg_start = s_start.reshape(Bp, block)
+
+        # Pair ray features; row 10 carries each pair's ray's current
+        # best-t, which is both the kernel's t_best init and its upper
+        # bound — no separate (8, P) carry buffers (they dominated the
+        # phase cost when the stream kernel was used here). Writing
+        # t_best into rayf row 10 BEFORE the pair gather folds the
+        # per-pair t carry into the same gather (a separate
+        # t_best[ray_s] cost 18ms/phase).
+        rayf_t = jax.lax.dynamic_update_slice(
+            rayf, t_best[None, :], (10, 0)
+        )
+        rayf_s = rayf_t[:, ray_s]  # (16, P)
+        t_pair0 = rayf_s[10]
+
+        n_rounds = jnp.max(-(-total // jnp.int32(K)))
+
+        def round_cond(rstate):
+            r, _, _ = rstate
+            return r < n_rounds
+
+        def round_body(rstate):
+            r, t_pair, idx_pair = rstate
+            pos = r * K + jax.lax.broadcasted_iota(jnp.int32, (Bp, K), 1)
+            # Segment lookup by compare-sum, not searchsorted: the
+            # vmapped binary search lowered to ~10 batched-gather
+            # sweeps at ~10.6ms each (1.4s/call, the top cost in the
+            # round-3 profile); a dense compare fused into a reduce is
+            # ~500M VPU ops — microseconds.
+            j = jnp.clip(
+                jnp.sum(
+                    (cum[:, :, None] <= pos[:, None, :]).astype(jnp.int32),
+                    axis=1,
+                ) - 1,
+                0, block - 1,
+            )
+            base = jnp.take_along_axis(seg_start, j, axis=1)
+            off = pos - jnp.take_along_axis(cum, j, axis=1)
+            cand_r = jnp.where(pos < total[:, None], base + off, 0)
+            cnt_r = jnp.clip(total - r * K, 0, K)
+            rayf_r = jax.lax.dynamic_update_slice(
+                rayf_s, t_pair[None, :], (10, 0)
+            )
+            t_new, idx_new = _pair_pallas(
+                cand_r, cnt_r, rayf_r, interpret, feat
+            )
+            improved = t_new < t_pair
+            idx_pair = jnp.where(improved, idx_new, idx_pair)
+            t_pair = jnp.minimum(t_new, t_pair)
+            return r + 1, t_pair, idx_pair
+
+        rstate0 = (jnp.int32(0), t_pair0, jnp.full((P,), -1, jnp.int32))
+        _, t_row, idx_row = jax.lax.while_loop(
+            round_cond, round_body, rstate0
+        )
+        # Min-combine pair results back to rays: unsort by sorting on
+        # the carried original position (multi-operand sort again —
+        # cheaper than inverse-argsort + two 2M gathers), then a dense
+        # (R, W) row reduction.
+        t_row = jnp.where(vp, t_row, C.T_FAR)
+        _, t_back, idx_back = jax.lax.sort(
+            (pos_s, t_row, idx_row), num_keys=1, is_stable=False
+        )
+        t_rw = t_back.reshape(R, W)
+        idx_rw = idx_back.reshape(R, W)
+        jmin = jnp.argmin(t_rw, axis=1)
+        t_from = jnp.take_along_axis(t_rw, jmin[:, None], axis=1)[:, 0]
+        idx_from = jnp.take_along_axis(idx_rw, jmin[:, None], axis=1)[:, 0]
+        improved_ray = (t_from < t_best) & (idx_from >= 0)
+        idx_best = jnp.where(improved_ray, idx_from, idx_best)
+        t_best = jnp.where(improved_ray, t_from, t_best)
+        # Per-ray termination: done when cells are exhausted or the
+        # best hit is nearer than the next phase's cell entry (margin-
+        # shrunk — fp conservative).
+        nxt = start + W
+        next_cell = jax.lax.dynamic_slice(cells, (0, nxt), (R, 1))[:, 0]
+        next_entry = jax.lax.dynamic_slice(entry, (0, nxt), (R, 1))[:, 0]
+        resolved_ray = t_best <= next_entry * _ENTRY_REL - _ENTRY_ABS
+        done = done | (next_cell < 0) | resolved_ray
+        return p + 1, done, t_best, idx_best
+
+    state0 = (jnp.int32(0), done0, t_cap_p,
+              jnp.full((R,), -1, jnp.int32))
+    _, _, t_fin, idx_fin = jax.lax.while_loop(
+        phase_cond, phase_body, state0
+    )
+    t_best = t_fin[:R0]
+    slot = idx_fin[:R0]
 
     hit = slot >= 0
     best = jnp.where(
