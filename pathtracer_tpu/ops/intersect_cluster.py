@@ -113,6 +113,15 @@ def visit_epilogue(q, t_best, best, base_id):
     inequality directions when det < 0, so fold the sign into the
     numerators and compare against |det|. Returns updated (t_best, best)
     with best = base_id * 128 + row for improved lanes.
+
+    The winning ROW is found by ENCODING it into the low 7 mantissa
+    bits of t (all candidate t's are positive finite, so the integer
+    order of their bit patterns is the float order) — ONE integer
+    min-reduction replaces the min + tie-matching argmin pair of
+    reductions, the second-largest term in the per-visit cost
+    (roofline, PROFILE.md r3). The reported t is perturbed by at most
+    127 ulp (~1.5e-5 relative) — an order below the kernel's bf16
+    hi/lo matmul tolerance (rtol 4e-3, tests/unit/test_cluster.py).
     """
     RB = q.shape[1]
     n = CLUSTER_TRIS
@@ -126,20 +135,35 @@ def visit_epilogue(q, t_best, best, base_id):
     vn = vn * s
     tn = tn * s
     eps_ok = adet > C.DET_EPS
+    # No upper t bound here: an over-large tc simply never wins the min
+    # (t_best initializes at t_max <= T_FAR).
     valid = (
         eps_ok
         & (un >= 0.0)
         & (vn >= 0.0)
         & (un + vn <= adet)
         & (tn > C.T_MIN * adet)
-        & (tn < C.T_FAR * adet)
     )
-    tc = jnp.where(valid, tn / jnp.where(eps_ok, adet, 1.0), C.T_FAR)
-    tmin = jnp.min(tc, axis=0, keepdims=True)  # (1, RB)
+    # Invalid sentinel STRICTLY above any possible t_best (bit-clearing
+    # T_FAR itself would dip just below a t_best == T_FAR init and
+    # report a phantom hit on an all-miss visit).
+    tc = jnp.where(valid, tn / jnp.where(eps_ok, adet, 1.0),
+                   2.0 * C.T_FAR)
     row = jax.lax.broadcasted_iota(jnp.int32, (n, RB), 0)
-    jstar = jnp.min(jnp.where(tc == tmin, row, n), axis=0, keepdims=True)
+    tenc = (
+        (jax.lax.bitcast_convert_type(tc, jnp.int32)
+         & jnp.int32(~(CLUSTER_TRIS - 1)))  # clear low 7 bits
+        | row
+    )
+    menc = jnp.min(tenc, axis=0, keepdims=True)  # (1, RB) int min
+    tmin = jax.lax.bitcast_convert_type(
+        menc & jnp.int32(~(CLUSTER_TRIS - 1)), jnp.float32
+    )
     better = tmin < t_best
-    best = jnp.where(better, base_id * CLUSTER_TRIS + jstar, best)
+    best = jnp.where(
+        better, base_id * CLUSTER_TRIS + (menc & (CLUSTER_TRIS - 1)),
+        best,
+    )
     t_best = jnp.where(better, tmin, t_best)
     return t_best, best
 
@@ -190,9 +214,14 @@ def _cluster_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_ref,
         t0,
         jnp.full((1, RB), -1, jnp.int32),
     )
-    _, _, t_best, best = jax.lax.while_loop(cond, body, init)
+    k_end, _, t_best, best = jax.lax.while_loop(cond, body, init)
     t_ref[:, :] = jnp.broadcast_to(t_best, (8, RB))
     idx_ref[:, :] = jnp.broadcast_to(best, (8, RB))
+    # Row 1 carries the block's visit count (the rows are broadcast
+    # copies anyway): free instrumentation for the roofline accounting
+    # (scripts/roofline.py). Row 0 — the only row callers consume — is
+    # unchanged.
+    idx_ref[1:2, :] = jnp.zeros((1, RB), jnp.int32) + k_end
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -264,6 +293,49 @@ def _cluster_impl(cand, count, tnear, rayf, feat, interpret):
         interpret=interpret,
     )(cand, count.reshape(-1, 1), tnear, rayf, feat)
     return t_out[0], idx_out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cluster_visit_counts(cand, count, tnear, rayf, feat, interpret):
+    """Per-block visit counts of the ordered walk (roofline probe).
+
+    Runs the same kernel as _cluster_impl and reads the k_end the
+    kernel writes into idx row 1 (see _cluster_kernel). Returns
+    (n_blocks,) i32. Not differentiable — profiling only.
+    """
+    R = rayf.shape[1]
+    block = min(R, RAY_BLOCK)
+    grid = (R // block,)
+    K = cand.shape[1]
+    count = jnp.minimum(count, K)
+    _, idx_out = pl.pallas_call(
+        _cluster_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, K), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, K), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((FEAT_ROWS, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(feat.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, R), jnp.float32),
+            jax.ShapeDtypeStruct((8, R), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cand, count.reshape(-1, 1), tnear, rayf, feat)
+    return idx_out[1].reshape(-1, block)[:, 0]
 
 
 def _ray_features(o, d, t_max=None):
