@@ -1,9 +1,23 @@
 """Pallas TPU kernel: synchronized stackless BVH traversal + Möller–Trumbore.
 
-The north-star hot kernel (BASELINE.json:5 "flattened stackless BVH
-traversal and ray-triangle intersection as Pallas kernels"): the TPU-native
-replacement for the reference's per-thread stack walk in tracer.cu
-(SURVEY.md §2.1 R2/R3).
+STATUS: ARCHIVED EXPERIMENT (round-3 decision, VERDICT r2 item 6).
+This kernel is correct, compiles on the v5e in ~1.6s, and matches the
+jnp traversal to 1.2e-7 (TPU_CHECKS.md) — but it is dominated in every
+measured regime: the dense cluster kernel (ops/intersect_cluster.py)
+is ~10x+ faster wherever the packet kernel's VMEM-resident tables fit
+(microbench_results.jsonl vs bench_metrics.jsonl), and the per-ray DDA
+grid path (ops/intersect_grid.py) owns large scenes. No preset selects
+it; `--backend pallas` remains wired for comparison runs, and its
+tests stay green as a regression fence for the Mosaic alignment
+patterns documented below (128-aligned block load + one-hot lane
+select), which the other kernels inherit. If a niche appears where
+packet traversal wins (e.g. extremely divergent tiny scenes), measure
+before promoting it back.
+
+The original rationale — the north-star hot kernel (BASELINE.json:5
+"flattened stackless BVH traversal and ray-triangle intersection as
+Pallas kernels"): the TPU-native replacement for the reference's
+per-thread stack walk in tracer.cu (SURVEY.md §2.1 R2/R3).
 
 Why *synchronized* traversal: Mosaic's dynamic-gather lowers only within a
 single 128-lane vreg ("Multiple source vregs along gather dimension" —

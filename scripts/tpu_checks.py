@@ -128,6 +128,38 @@ def main() -> int:
               f"bad-pixel frac {frac_s:.4f}")
         ok &= bool(frac_s < 0.005)
 
+        # Round-3 per-ray DDA grid path (ops/intersect_grid.py).
+        from pathtracer_tpu.accel.grid import with_grid
+        from pathtracer_tpu.ops.intersect_grid import closest_hit_grid
+
+        scene_g = scene_to_device(
+            with_grid(with_bvh(builder.cornell_mesh()), axis=8)
+        )
+        gg = scene_g.geometry
+        t0 = time.time()
+        jit_grid = jax.jit(
+            lambda g, o, d: closest_hit_grid(g, o, d))
+        t_g, _, m_g = jit_grid(gg, o, d)
+        t_g = np.asarray(t_g)
+        print(f"[5] grid kernel compiled+ran in {time.time()-t0:.1f}s")
+        t_bg, _, m_bg = jit_brute(gg, o, d)
+        t_bg = np.asarray(t_bg)
+        hit_same_g = ((t_bg < 5e7) == (t_g < 5e7)).mean()
+        hitg = (t_bg < 5e7) & (t_g < 5e7)
+        dt99g = float(np.quantile(np.abs(t_bg - t_g)[hitg], 0.99))
+        mat_g = float((np.asarray(m_g) == np.asarray(m_bg)).mean())
+        print(f"    vs brute: hit agree {hit_same_g:.4f}, "
+              f"|dt| q99 {dt99g:.2e}, mats agree {mat_g:.4f}")
+        ok &= bool(hit_same_g > 0.999 and dt99g < 1e-4 and mat_g > 0.999)
+        img_g = np.asarray(
+            wavefront.render(scene_g, cfg_m.replace(backend="grid"))
+        )
+        bad_g = np.abs(img_j - img_g) > 5e-3 + 5e-3 * np.abs(img_j)
+        frac_g = float(bad_g.any(-1).mean())
+        print(f"[6] engine jnp vs GRID backend: "
+              f"bad-pixel frac {frac_g:.4f}")
+        ok &= bool(frac_g < 0.005)
+
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
