@@ -54,6 +54,9 @@ def main() -> int:
                     help="render in N horizontal bands (0 = auto). Keeps "
                     "each device program short enough for remote-TPU "
                     "watchdogs while measuring the same total work.")
+    ap.add_argument("--grid-axis", type=int, default=None,
+                    help="override the grid backend's cells-per-axis "
+                    "(accel/grid.py:pick_axis heuristic otherwise)")
     ap.add_argument("--no-baseline-write", action="store_true")
     args = ap.parse_args()
 
@@ -94,7 +97,7 @@ def main() -> int:
     elif cfg.backend == "grid":
         from pathtracer_tpu.accel.grid import with_grid
 
-        scene = with_grid(scene)
+        scene = with_grid(scene, axis=args.grid_axis)
     scene = scene_to_device(scene)
     dev = jax.devices()[0]
 

@@ -80,11 +80,14 @@ def morton3_np(ix: np.ndarray, iy: np.ndarray, iz: np.ndarray,
 
 
 def pick_axis(n_tris: int) -> int:
-    """Cells-per-axis heuristic: ~2-6 clusters per occupied cell keeps
-    both fragmentation (1 padded cluster per sparse cell) and per-visit
-    range length bounded. Power of two for morton interleaving."""
+    """Cells-per-axis heuristic, tuned on the v5e (PROFILE.md r3):
+    the phased walk's XLA glue scales with 3*axis (total DDA steps)
+    while kernel visits scale with tris/cell, and the glue dominates
+    until ~4000 tris/cell. Measured on the 2M-tri scene: axis 32 →
+    121k rays/s, 16 → 209k, 8 → 261k, 4 → 189k (visits take over).
+    Power of two for morton interleaving."""
     for axis in (4, 8, 16, 32):
-        if n_tris <= 192 * axis ** 3:
+        if n_tris <= 4000 * axis ** 3:
             return axis
     return 32
 

@@ -234,9 +234,12 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
         return k + 1, t_best, best
 
     init = (jnp.int32(0), t0, jnp.full((1, RB), -1, jnp.int32))
-    _, t_best, best = jax.lax.while_loop(cond, body, init)
+    k_end, t_best, best = jax.lax.while_loop(cond, body, init)
     t_ref[:, :] = jnp.broadcast_to(t_best, (8, RB))
     idx_ref[:, :] = jnp.broadcast_to(best, (8, RB))
+    # Row 1 = visit count (rows are broadcast copies anyway): free
+    # roofline instrumentation, same as _cluster_kernel.
+    idx_ref[1:2, :] = jnp.zeros((1, RB), jnp.int32) + k_end
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -264,8 +267,21 @@ def _pair_bwd(interpret, res, g):
 _pair_pallas.defvjp(_pair_fwd, _pair_bwd)
 
 
+def pair_visit_counts(cand, count, rayf, interpret, feat):
+    """Per-block visit counts of the pair walk (roofline probe; reads
+    the k_end the kernel writes into idx row 1). (n_blocks,) i32."""
+    _, idx_out = _pair_full(cand, count, rayf, interpret, feat)
+    block = min(rayf.shape[1], RAY_BLOCK)
+    return idx_out[1].reshape(-1, block)[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pair_impl(cand, count, rayf, interpret, feat):
+    t_out, idx_out = _pair_full(cand, count, rayf, interpret, feat)
+    return t_out[0], idx_out[0]
+
+
+def _pair_full(cand, count, rayf, interpret, feat):
     R = rayf.shape[1]
     block = min(R, RAY_BLOCK)
     assert R % block == 0, (R, block)
@@ -300,17 +316,18 @@ def _pair_impl(cand, count, rayf, interpret, feat):
         ],
         interpret=interpret,
     )(cand, count.reshape(-1, 1), rayf, feat)
-    return t_out[0], idx_out[0]
+    return t_out, idx_out
 
 
 # Occupied cells per phase: pairs are re-binned by cell between phases,
 # and per-ray resolution (best hit nearer than the next phase's cell
 # entry) retires rays phase by phase. W trades per-phase pair volume
-# (every (16, P) gather and (8, P) kernel buffer scales with P = R*W)
-# against the number of phases; after empty-cell compaction a typical
-# big-scene ray crosses ~20-30 occupied cells and most rays hit within
-# their first few, so small W wins.
-PHASE_STEPS = 8
+# (every per-pair sort/gather and kernel buffer scales with P = R*W,
+# and a resolved ray still pays for the rest of its phase's cells)
+# against the number of phases (per-phase fixed costs). Swept on the
+# 2M-tri scene at the pick_axis optimum (axis=8): W=2 → 368k, 4 →
+# 425k, 6 → 429k, 8 → 402k rays/s.
+PHASE_STEPS = 6
 
 
 def closest_hit_grid(geom, o, d, interpret: bool | None = None,
@@ -453,6 +470,46 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         t_pair0 = rayf_s[10]
 
         n_rounds = jnp.max(-(-total // jnp.int32(K)))
+        n_clusters = feat.shape[1] // CLUSTER_COLS
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Bp, block), 1)
+
+        def window_positions(r):
+            """(cand, cnt) for round r's K positions of each block.
+
+            Segment lookup is done with dense compare + reduce, never
+            searchsorted (its vmapped binary search lowered to ~10
+            batched-gather sweeps = 1.4s/call) and never per-position
+            gathers (take_along on (Bp, K) cost ~21ms each per round).
+            Both segment fields ride PACKED monotone max-reduces: cum
+            is nondecreasing over lanes and totals are bounded by the
+            cluster count, so (cum<<9 | lane) and (lane<<15 | start)
+            are strictly increasing where defined and fit int32 when
+            C < 2^15 (asserted at build via this static branch).
+            """
+            pos = r * K + jax.lax.broadcasted_iota(jnp.int32, (Bp, K), 1)
+            cond = cum[:, :block, None] <= pos[:, None, :]
+            if n_clusters < 32768:
+                p1 = (cum[:, :block] << 9) | lane
+                pm1 = jnp.max(
+                    jnp.where(cond, p1[:, :, None], -1), axis=1
+                )
+                cum_at = pm1 >> 9
+                p2 = (lane << 15) | seg_start
+                pm2 = jnp.max(
+                    jnp.where(cond, p2[:, :, None], -1), axis=1
+                )
+                base = pm2 & 32767
+            else:
+                j = jnp.clip(
+                    jnp.sum(cond.astype(jnp.int32), axis=1) - 1,
+                    0, block - 1,
+                )
+                base = jnp.take_along_axis(seg_start, j, axis=1)
+                cum_at = jnp.take_along_axis(cum, j, axis=1)
+            cand = jnp.where(pos < total[:, None], base + (pos - cum_at),
+                             0)
+            cnt = jnp.clip(total - r * K, 0, K)
+            return cand, cnt
 
         def round_cond(rstate):
             r, _, _ = rstate
@@ -460,23 +517,7 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
 
         def round_body(rstate):
             r, t_pair, idx_pair = rstate
-            pos = r * K + jax.lax.broadcasted_iota(jnp.int32, (Bp, K), 1)
-            # Segment lookup by compare-sum, not searchsorted: the
-            # vmapped binary search lowered to ~10 batched-gather
-            # sweeps at ~10.6ms each (1.4s/call, the top cost in the
-            # round-3 profile); a dense compare fused into a reduce is
-            # ~500M VPU ops — microseconds.
-            j = jnp.clip(
-                jnp.sum(
-                    (cum[:, :, None] <= pos[:, None, :]).astype(jnp.int32),
-                    axis=1,
-                ) - 1,
-                0, block - 1,
-            )
-            base = jnp.take_along_axis(seg_start, j, axis=1)
-            off = pos - jnp.take_along_axis(cum, j, axis=1)
-            cand_r = jnp.where(pos < total[:, None], base + off, 0)
-            cnt_r = jnp.clip(total - r * K, 0, K)
+            cand_r, cnt_r = window_positions(r)
             rayf_r = jax.lax.dynamic_update_slice(
                 rayf_s, t_pair[None, :], (10, 0)
             )
