@@ -403,19 +403,19 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     rayf = _ray_features(o_p, d_p, t_cap_p)
     feat = jnp.asarray(geom.cl_feat)
     done0 = cells[:, 0] < 0  # no cells at all (missed grid / dead lane)
-    P = R * W  # (ray, step) pairs per phase
-    Bp = P // block
+    n_clusters = feat.shape[1] // CLUSTER_COLS
 
-    def phase_cond(state):
-        p, done, _, _ = state
-        return (p < n_phases) & ~jnp.all(done)
+    def _phase_core(cellsW, rayf_x, t_best, idx_best):
+        """One pair-binned phase over Rx rays' next W cells.
 
-    def phase_body(state):
-        p, done, t_best, idx_best = state
-        start = p * W
-        cellsW = jax.lax.dynamic_slice(cells, (0, start), (R, W))
-        # Done rays (resolved or exhausted) contribute no pairs.
-        cellsW = jnp.where(done[:, None], -1, cellsW)
+        Shape-generic: instantiated once at full R (the first phase,
+        where every ray is live) and once at the compacted era size
+        (stage B below). cellsW must already be -1 for done rays.
+        Returns updated per-ray (t_best, idx_best).
+        """
+        Rx = cellsW.shape[0]
+        P = Rx * W
+        Bp = P // block
         cell_p = cellsW.reshape(P)  # ray-major pairs
         # THE sort: pairs grouped by cell id. Blocks of 512 consecutive
         # sorted pairs then share a handful of morton-ADJACENT cells,
@@ -464,13 +464,12 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         # per-pair t carry into the same gather (a separate
         # t_best[ray_s] cost 18ms/phase).
         rayf_t = jax.lax.dynamic_update_slice(
-            rayf, t_best[None, :], (10, 0)
+            rayf_x, t_best[None, :], (10, 0)
         )
         rayf_s = rayf_t[:, ray_s]  # (16, P)
         t_pair0 = rayf_s[10]
 
         n_rounds = jnp.max(-(-total // jnp.int32(K)))
-        n_clusters = feat.shape[1] // CLUSTER_COLS
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bp, block), 1)
 
         def window_positions(r):
@@ -541,28 +540,86 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         _, t_back, idx_back = jax.lax.sort(
             (pos_s, t_row, idx_row), num_keys=1, is_stable=False
         )
-        t_rw = t_back.reshape(R, W)
-        idx_rw = idx_back.reshape(R, W)
+        t_rw = t_back.reshape(Rx, W)
+        idx_rw = idx_back.reshape(Rx, W)
         jmin = jnp.argmin(t_rw, axis=1)
         t_from = jnp.take_along_axis(t_rw, jmin[:, None], axis=1)[:, 0]
         idx_from = jnp.take_along_axis(idx_rw, jmin[:, None], axis=1)[:, 0]
         improved_ray = (t_from < t_best) & (idx_from >= 0)
         idx_best = jnp.where(improved_ray, idx_from, idx_best)
         t_best = jnp.where(improved_ray, t_from, t_best)
-        # Per-ray termination: done when cells are exhausted or the
-        # best hit is nearer than the next phase's cell entry (margin-
-        # shrunk — fp conservative).
-        nxt = start + W
-        next_cell = jax.lax.dynamic_slice(cells, (0, nxt), (R, 1))[:, 0]
-        next_entry = jax.lax.dynamic_slice(entry, (0, nxt), (R, 1))[:, 0]
-        resolved_ray = t_best <= next_entry * _ENTRY_REL - _ENTRY_ABS
-        done = done | (next_cell < 0) | resolved_ray
-        return p + 1, done, t_best, idx_best
+        return t_best, idx_best
 
-    state0 = (jnp.int32(0), done0, t_cap_p,
-              jnp.full((R,), -1, jnp.int32))
-    _, _, t_fin, idx_fin = jax.lax.while_loop(
-        phase_cond, phase_body, state0
+    def _retire(done, ptr_next, t_best):
+        """Per-ray termination at cell column ptr_next: cells exhausted
+        or best hit nearer than the next cell's entry (margin-shrunk —
+        fp conservative). Column indices clamp into the -1/_ENTRY_INF
+        padding, so over-advanced pointers read as exhausted."""
+        col = jnp.minimum(ptr_next, cells.shape[1] - 1)
+        next_cell = jnp.take_along_axis(cells, col[:, None], axis=1)[:, 0]
+        next_entry = jnp.take_along_axis(entry, col[:, None], axis=1)[:, 0]
+        resolved = t_best <= next_entry * _ENTRY_REL - _ENTRY_ABS
+        return done | (next_cell < 0) | resolved
+
+    # ---- stage A: ONE phase at full R (every ray is live anyway) ----
+    t_best = t_cap_p
+    idx_best = jnp.full((R,), -1, jnp.int32)
+    cellsW0 = jnp.where(done0[:, None], -1, cells[:, :W])
+    t_best, idx_best = _phase_core(cellsW0, rayf, t_best, idx_best)
+    done = _retire(done0, jnp.full((R,), W, jnp.int32), t_best)
+    ptr = jnp.full((R,), W, jnp.int32)
+
+    # ---- stage B: era ladder over a COMPACTED live-ray buffer ----
+    # After phase 0 most rays have retired (measured ~80%+ at W=6 on
+    # the 2M-tri scene), but every phase's pair glue costs O(R*W)
+    # regardless of the live count. Each era argsorts rays by done
+    # (live first), continues the FIRST R2 live rays from their own
+    # cell pointer at 1/4 cost, and scatters the carries back. If more
+    # than R2 rays are live, later eras pick up the rest (stable sort +
+    # per-ray pointers make progress monotone); the era cap covers the
+    # worst case of every ray walking every phase in R/R2 batches.
+    R2 = max(2048, -(-(R // 4) // 2048) * 2048)
+    while (R2 * W) % (8 * block):  # Bp2 must be a multiple of 8
+        R2 += 2048
+    if R2 >= R:
+        R2 = R
+    MAX_ERAS = 4 * (R // R2) * n_phases
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (R2, W), 1)
+
+    def era_cond(state):
+        era, done, _, _, _ = state
+        return (era < MAX_ERAS) & ~jnp.all(done)
+
+    def era_body(state):
+        era, done, ptr, t_best, idx_best = state
+        sel = jnp.argsort(done, stable=True)[:R2]
+        done_s = done[sel]
+        ptr_s = ptr[sel]
+        cols = jnp.minimum(ptr_s[:, None] + col_iota,
+                           cells.shape[1] - 1)  # (R2, W)
+        cellsW = cells[sel[:, None], cols]
+        cellsW = jnp.where(done_s[:, None], -1, cellsW)
+        rayf_s16 = rayf[:, sel]
+        t_s, idx_s = _phase_core(cellsW, rayf_s16, t_best[sel],
+                                 idx_best[sel])
+        t_best = t_best.at[sel].set(t_s)
+        idx_best = idx_best.at[sel].set(idx_s)
+        ptr_next = ptr_s + W
+        done_s = _retire_sub(done_s, sel, ptr_next, t_s)
+        done = done.at[sel].set(done_s)
+        ptr = ptr.at[sel].set(ptr_next)
+        return era + 1, done, ptr, t_best, idx_best
+
+    def _retire_sub(done_s, sel, ptr_next, t_s):
+        col = jnp.minimum(ptr_next, cells.shape[1] - 1)
+        next_cell = cells[sel, col]
+        next_entry = entry[sel, col]
+        resolved = t_s <= next_entry * _ENTRY_REL - _ENTRY_ABS
+        return done_s | (next_cell < 0) | resolved
+
+    estate = (jnp.int32(0), done, ptr, t_best, idx_best)
+    _, _, _, t_fin, idx_fin = jax.lax.while_loop(
+        era_cond, era_body, estate
     )
     t_best = t_fin[:R0]
     slot = idx_fin[:R0]
