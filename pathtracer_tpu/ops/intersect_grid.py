@@ -328,11 +328,17 @@ def _pair_full(cand, count, rayf, interpret, feat):
 # 2M-tri scene at the pick_axis optimum (axis=8): W=2 → 368k, 4 →
 # 425k, 6 → 429k, 8 → 402k rays/s.
 PHASE_STEPS = 6
+# Cells covered by the full-R first phase (see stage A in
+# closest_hit_grid). Swept on the 2M-tri scene: a narrower first phase
+# (W0=2 -> 480k, W0=4 -> 528k rays/s) does not beat W0=W=6 (528k) —
+# the saved phase-0 kernel work returns as extra eras.
+FIRST_STEPS = 6
 
 
 def closest_hit_grid(geom, o, d, interpret: bool | None = None,
                      t_max=None, max_cand: int = 2 * ROUND_CAND,
-                     phase_steps: int = PHASE_STEPS):
+                     phase_steps: int = PHASE_STEPS,
+                     first_steps: int = FIRST_STEPS):
     """Drop-in closest hit via phased per-ray DDA + the stream kernel.
 
     Same contract as intersect_cluster.closest_hit_cluster: (t, n, mat),
@@ -413,8 +419,8 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         (stage B below). cellsW must already be -1 for done rays.
         Returns updated per-ray (t_best, idx_best).
         """
-        Rx = cellsW.shape[0]
-        P = Rx * W
+        Rx, Wx = cellsW.shape
+        P = Rx * Wx
         Bp = P // block
         cell_p = cellsW.reshape(P)  # ray-major pairs
         # THE sort: pairs grouped by cell id. Blocks of 512 consecutive
@@ -430,7 +436,7 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
             (keys, cell_p, jnp.arange(P, dtype=jnp.int32)), num_keys=1,
             is_stable=True,
         )
-        ray_s = pos_s // W
+        ray_s = pos_s // Wx
         vp = cell_s >= 0
         s_start = cell_start[jnp.maximum(cell_s, 0)]
         s_end = cell_start[jnp.maximum(cell_s, 0) + 1]
@@ -540,8 +546,8 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         _, t_back, idx_back = jax.lax.sort(
             (pos_s, t_row, idx_row), num_keys=1, is_stable=False
         )
-        t_rw = t_back.reshape(Rx, W)
-        idx_rw = idx_back.reshape(Rx, W)
+        t_rw = t_back.reshape(Rx, Wx)
+        idx_rw = idx_back.reshape(Rx, Wx)
         jmin = jnp.argmin(t_rw, axis=1)
         t_from = jnp.take_along_axis(t_rw, jmin[:, None], axis=1)[:, 0]
         idx_from = jnp.take_along_axis(idx_rw, jmin[:, None], axis=1)[:, 0]
@@ -562,12 +568,17 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         return done | (next_cell < 0) | resolved
 
     # ---- stage A: ONE phase at full R (every ray is live anyway) ----
+    # Narrower than the era width: the median ray resolves within its
+    # first 2-3 cells, and at full R every extra up-front cell is paid
+    # by EVERY ray (phase-0 kernel work scales with W0), while the
+    # stragglers continue at 1/4 cost in the eras below.
+    W0 = min(first_steps, W)
     t_best = t_cap_p
     idx_best = jnp.full((R,), -1, jnp.int32)
-    cellsW0 = jnp.where(done0[:, None], -1, cells[:, :W])
+    cellsW0 = jnp.where(done0[:, None], -1, cells[:, :W0])
     t_best, idx_best = _phase_core(cellsW0, rayf, t_best, idx_best)
-    done = _retire(done0, jnp.full((R,), W, jnp.int32), t_best)
-    ptr = jnp.full((R,), W, jnp.int32)
+    done = _retire(done0, jnp.full((R,), W0, jnp.int32), t_best)
+    ptr = jnp.full((R,), W0, jnp.int32)
 
     # ---- stage B: era ladder over a COMPACTED live-ray buffer ----
     # After phase 0 most rays have retired (measured ~80%+ at W=6 on
