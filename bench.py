@@ -21,8 +21,8 @@ Also appends one SURVEY.md §5.5 schema row per run to bench_metrics.jsonl:
     {config, chips, hosts, rays_per_s_per_chip, scaling_eff}
 
 Usage: python bench.py [--smoke] [--scene cornell_mesh] [--depth 4]
-                       [--backend jnp|pallas|cluster|stream] [--budget 60]
-                       [--compact]
+                       [--backend jnp|pallas|cluster|stream|grid]
+                       [--budget 60] [--compact] [--grad]
 """
 
 from __future__ import annotations
@@ -57,6 +57,14 @@ def main() -> int:
     ap.add_argument("--grid-axis", type=int, default=None,
                     help="override the grid backend's cells-per-axis "
                     "(accel/grid.py:pick_axis heuristic otherwise)")
+    ap.add_argument("--grad", action="store_true",
+                    help="measure the BACKWARD pass: each timed band is "
+                    "a jitted value_and_grad of an image loss w.r.t. the "
+                    "material pytree (forward + reverse through the "
+                    "shading chain and the kernels' custom_vjp). rays/s "
+                    "then counts forward rays per wall-second of the "
+                    "full fwd+bwd step (BASELINE.json:5 'forward+"
+                    "backward kernels').")
     ap.add_argument("--no-baseline-write", action="store_true")
     args = ap.parse_args()
 
@@ -86,18 +94,14 @@ def main() -> int:
     if args.compact:
         cfg = cfg.replace(compact=True)
 
+    from pathtracer_tpu.accel.auto import prepare_accel
     from pathtracer_tpu.accel.build import with_bvh
-    from pathtracer_tpu.accel.clusters import with_clusters
 
     scene = build_scene(cfg.scene)
     if cfg.use_bvh:
         scene = with_bvh(scene)
-    if cfg.backend in ("cluster", "stream"):
-        scene = with_clusters(scene)
-    elif cfg.backend == "grid":
-        from pathtracer_tpu.accel.grid import with_grid
-
-        scene = with_grid(scene, axis=args.grid_axis)
+    # Backend-aware table build + large-scene auto-route (accel/auto.py).
+    scene = prepare_accel(scene, cfg, grid_axis=args.grid_axis)
     scene = scene_to_device(scene)
     dev = jax.devices()[0]
 
@@ -110,18 +114,45 @@ def main() -> int:
 
     from pathtracer_tpu.engine.camera import tiled_pixel_ids
 
-    @jax.jit
-    def run(geometry, materials, camera, lights, band_start):
-        # iota INSIDE jit: a closed-over concrete index array would be
-        # embedded as a huge HLO constant, which stalls the axon compile.
-        # Tile-ordered pixel ids give the cluster intersector's per-block
-        # cull tight primary-ray frustums (ray blocks = pixel tiles, not
-        # 512-wide scanline strips).
-        pixel_ids = tiled_pixel_ids(band_start, band, cfg.width)
-        return trace_sample(
-            geometry, materials, camera, lights, cfg, pixel_ids,
-            jnp.uint32(0), with_stats=True,
-        )
+    if args.grad:
+        # Backward-pass measurement: one full value_and_grad per band —
+        # forward wavefront render + reverse-mode grads of a scalar image
+        # loss w.r.t. the material pytree (the differentiable path's
+        # honest unit of work; geometry kernels contribute their
+        # custom_vjp zero-cotangent backward). The aux ray count is the
+        # same useful-ray numerator as the forward metric, so
+        # grad rays/s is directly comparable to forward rays/s.
+        @jax.jit
+        def run(geometry, materials, camera, lights, band_start):
+            pixel_ids = tiled_pixel_ids(band_start, band, cfg.width)
+
+            def loss_fn(mats):
+                rad, n = trace_sample(
+                    geometry, mats, camera, lights, cfg, pixel_ids,
+                    jnp.uint32(0), with_stats=True,
+                )
+                return jnp.mean(rad * rad), n
+
+            (loss, n), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(materials)
+            # Return a reduction over every grad leaf (plus the loss) so
+            # no part of the backward pass can be dead-code-eliminated.
+            gsum = loss + sum(jnp.sum(jnp.abs(g))
+                              for g in jax.tree.leaves(grads))
+            return gsum, n
+    else:
+        @jax.jit
+        def run(geometry, materials, camera, lights, band_start):
+            # iota INSIDE jit: a closed-over concrete index array would
+            # be embedded as a huge HLO constant, which stalls the axon
+            # compile. Tile-ordered pixel ids give the cluster
+            # intersector's per-block cull tight primary-ray frustums
+            # (ray blocks = pixel tiles, not 512-wide scanline strips).
+            pixel_ids = tiled_pixel_ids(band_start, band, cfg.width)
+            return trace_sample(
+                geometry, materials, camera, lights, cfg, pixel_ids,
+                jnp.uint32(0), with_stats=True,
+            )
 
     sargs = (scene.geometry, scene.materials, scene.camera, scene.lights)
 
@@ -166,7 +197,7 @@ def main() -> int:
             base = json.load(f)
         if base.get("value"):
             vs_baseline = rays_per_s / float(base["value"])
-    elif not args.smoke and not args.no_baseline_write:
+    elif not args.smoke and not args.no_baseline_write and not args.grad:
         with open(baseline_path, "w") as f:
             json.dump(
                 {"value": rays_per_s, "unit": "rays/s/chip",
@@ -179,7 +210,8 @@ def main() -> int:
             os.path.join(here, "bench_metrics.jsonl"),
             config=f"{cfg.scene} {cfg.width}x{cfg.height} {cfg.spp}spp "
                    f"depth{cfg.max_depth} backend={cfg.backend} "
-                   f"compact={cfg.compact}",
+                   f"compact={cfg.compact}"
+                   + (" grad=fwd+bwd" if args.grad else ""),
             chips=jax.device_count(),
             hosts=jax.process_count(),
             rays_per_s_per_chip=round(rays_per_s / jax.device_count(), 1),
@@ -191,7 +223,8 @@ def main() -> int:
 
     print(json.dumps({
         "metric": (
-            f"rays/s/chip ({cfg.scene} {cfg.width}x{cfg.height} "
+            f"{'grad-step ' if args.grad else ''}rays/s/chip "
+            f"({cfg.scene} {cfg.width}x{cfg.height} "
             f"{cfg.spp}spp depth{cfg.max_depth} backend={cfg.backend} "
             f"on {dev.device_kind})"
         ),

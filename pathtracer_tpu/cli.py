@@ -104,14 +104,11 @@ def _prepare_scene(cfg, args=None):
         )
     if cfg.use_bvh:
         scene = with_bvh(scene)
-    if cfg.backend in ("cluster", "stream"):
-        from .accel.clusters import with_clusters
+    # Backend-aware table build + large-scene auto-route (accel/auto.py:
+    # backend="cluster" on a VMEM-overflowing scene gets grid tables).
+    from .accel.auto import prepare_accel
 
-        scene = with_clusters(scene)
-    elif cfg.backend == "grid":
-        from .accel.grid import with_grid
-
-        scene = with_grid(scene)
+    scene = prepare_accel(scene, cfg)
     return scene_to_device(scene)
 
 
@@ -144,12 +141,23 @@ def cmd_render(args) -> int:
         stem, ext = os.path.splitext(out)
         preview_path = stem + ".preview" + (ext if ext == ".npy" else ".png")
 
-    chunk = min(
-        x for x in (args.checkpoint_every, args.preview_every,
-                    cfg.spp_chunk or cfg.spp) if x
-    )
+    # Per-feature due thresholds (fire when spp_done reaches the next
+    # multiple, then advance it) rather than exact-modulo gates: with
+    # e.g. --checkpoint-every 10 --preview-every 3 the loop advances in
+    # chunks of 3 and spp_done % 10 == 0 would only fire at multiples of
+    # 30 (ADVICE r3). Chunks also shrink to land exactly on the nearest
+    # upcoming threshold, so firings stay on their own multiples.
+    def _next_due(every, spp_done):
+        return ((spp_done // every) + 1) * every if every else None
+
+    next_ckpt = _next_due(args.checkpoint_every, spp_done)
+    next_prev = _next_due(args.preview_every, spp_done)
+    base_chunk = cfg.spp_chunk or cfg.spp
     while spp_done < cfg.spp:
-        n = min(chunk, cfg.spp - spp_done)
+        n = min(base_chunk, cfg.spp - spp_done)
+        for due in (next_ckpt, next_prev):
+            if due is not None and due > spp_done:
+                n = min(n, due - spp_done)
         part = np.asarray(
             wavefront.render_accumulate(scene, cfg, spp_start=spp_done,
                                         n_spp=n)
@@ -159,12 +167,16 @@ def cmd_render(args) -> int:
         done = spp_done >= cfg.spp
         if args.checkpoint and (
             done or not args.checkpoint_every
-            or spp_done % args.checkpoint_every == 0
+            or (next_ckpt is not None and spp_done >= next_ckpt)
         ):
             fb.save_accumulator(args.checkpoint, acc, spp_done,
                                 {"cfg": cfg.to_json()})
             print(f"checkpointed {spp_done}/{cfg.spp} spp")
-        if preview_path and (done or spp_done % args.preview_every == 0):
+            next_ckpt = _next_due(args.checkpoint_every, spp_done)
+        if preview_path and (
+            done or (next_prev is not None and spp_done >= next_prev)
+        ):
+            next_prev = _next_due(args.preview_every, spp_done)
             pimg = (acc / spp_done).reshape(cfg.height, cfg.width, 3)
             if preview_path.endswith(".npy"):
                 fb.write_npy(preview_path, pimg)

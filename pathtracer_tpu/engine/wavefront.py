@@ -79,15 +79,18 @@ def _intersector(geom, cfg: RenderConfig):
         def hit(g, o, d, t_max=None):
             return closest_hit_grid(g, o, d, t_max=t_max)
 
+        hit.impl = "grid"
         return hit
     if cfg.backend == "stream" and geom.cl_lo.shape[0] > 0:
         # Explicit selection of the HBM-streaming kernel (benchmarking /
-        # large scenes); "cluster" picks it automatically on VMEM overflow.
+        # exactness cross-checks); large scenes at backend="cluster"
+        # auto-route to the grid below, not here.
         from ..ops.intersect_stream import closest_hit_stream
 
         def hit(g, o, d, t_max=None):
             return closest_hit_stream(g, o, d, t_max=t_max)
 
+        hit.impl = "stream"
         return hit
     if cfg.backend == "cluster" and geom.cl_lo.shape[0] > 0:
         from ..ops.intersect_cluster import closest_hit_cluster, fits_vmem
@@ -96,18 +99,40 @@ def _intersector(geom, cfg: RenderConfig):
             def hit(g, o, d, t_max=None):
                 return closest_hit_cluster(g, o, d, t_max=t_max)
 
+            hit.impl = "cluster"
             return hit
-        # Cluster tables exceed VMEM: stream them from HBM with
-        # double-buffered DMA (ops/intersect_stream.py) — the config-5
-        # large-scene path (SURVEY.md §5.7 mechanism 4). Exact for any
-        # candidate distribution via the kernel's lax.while_loop over
-        # K-candidate ROUNDS with a per-block resolution test (worst
-        # case ceil(C/K) rounds — no fallback path).
+        if geom.gr_cell_start.shape[0] > 1:
+            # Cluster tables exceed VMEM and grid tables exist (the
+            # accel/auto.py route): the per-ray DDA grid is the measured
+            # config-5 large-scene path — 25x the streaming kernel on
+            # the 2M-triangle scene (PROFILE.md r3).
+            from ..ops.intersect_grid import closest_hit_grid
+
+            def hit(g, o, d, t_max=None):
+                return closest_hit_grid(g, o, d, t_max=t_max)
+
+            hit.impl = "grid"
+            return hit
+        # Cluster tables exceed VMEM but no grid tables were built
+        # (caller bypassed accel/auto.py:prepare_accel): stream the
+        # clusters from HBM with double-buffered DMA — exact for any
+        # scene size via K-candidate ROUNDS, but ~25x slower than the
+        # grid on 2M triangles. Rebuild with prepare_accel for speed.
+        import warnings
+
+        warnings.warn(
+            "cluster tables exceed VMEM and no grid tables are present; "
+            "falling back to the HBM-streaming kernel (~25x slower on "
+            "large scenes). Build the scene with accel.auto.prepare_accel"
+            " (or accel.grid.with_grid) to get the grid path.",
+            stacklevel=2,
+        )
         from ..ops.intersect_stream import closest_hit_stream
 
         def hit(g, o, d, t_max=None):
             return closest_hit_stream(g, o, d, t_max=t_max)
 
+        hit.impl = "stream"
         return hit
     has_bvh = geom.bvh_lo.shape[0] > 0
     if cfg.use_bvh and has_bvh:
@@ -117,17 +142,20 @@ def _intersector(geom, cfg: RenderConfig):
             def hit(g, o, d, t_max=None):
                 return closest_hit_pallas(g, o, d)
 
+            hit.impl = "pallas"
             return hit
         from ..accel.traverse import closest_hit
 
         def hit(g, o, d, t_max=None):
             return closest_hit(g, o, d)
 
+        hit.impl = "bvh"
         return hit
 
     def hit(g, o, d, t_max=None):
         return isect.brute(g, o, d)
 
+    hit.impl = "brute"
     return hit
 
 

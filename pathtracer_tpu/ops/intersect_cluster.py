@@ -122,6 +122,15 @@ def visit_epilogue(q, t_best, best, base_id):
     (roofline, PROFILE.md r3). The reported t is perturbed by at most
     127 ulp (~1.5e-5 relative) — an order below the kernel's bf16
     hi/lo matmul tolerance (rtol 4e-3, tests/unit/test_cluster.py).
+
+    Side effects of the downward rounding (ADVICE r3): (a) the ordered
+    early exit compares cluster tnear against the block max of the
+    rounded best-t, so it is marginally TIGHTER — a later cluster whose
+    conservative entry lies inside the ~1.5e-5-relative rounding gap can
+    be skipped; (b) tie-breaks between near-coincident surfaces closer
+    than that gap in t may resolve to a different triangle than the
+    exact min would. Both stay within the documented bf16 tolerance;
+    t/normal/material agreement is what the tests pin, not the index.
     """
     RB = q.shape[1]
     n = CLUSTER_TRIS

@@ -130,8 +130,17 @@ def dda_cells(o, d, t_max, grid_lo, cell, axis: int):
     tm = jnp.asarray(t_max, jnp.float32)
     alive = (t_ex >= t_en) & (t_en < tm) & (tm > 2 * C.T_MIN)
 
-    # Probe a point strictly inside the first cell.
-    t_probe = t_en * (1.0 + 1e-6) + 1e-7
+    # Probe a point strictly inside the first cell. The forward nudge is
+    # bounded by a fraction of the fastest per-axis cell crossing time:
+    # a t_en-RELATIVE epsilon alone (1e-6 * t_en) can exceed whole cells
+    # when the origin is far from the grid (t_en >> cell extent along
+    # the ray) and silently skip entry-face cells (ADVICE r3). The
+    # relative term still dominates in-scene rays (fp error of t_en
+    # itself scales with t_en); the cap keeps far-origin probes within
+    # the entry cell.
+    dt = jnp.abs(cell[None, :] * inv)  # (R, 3) per-axis crossing time
+    dt_min = jnp.min(dt, -1)
+    t_probe = t_en + jnp.minimum(t_en * 1e-6 + 1e-7, 0.25 * dt_min)
     p = o + d * t_probe[:, None]
     c = jnp.clip(
         jnp.floor((p - grid_lo[None, :]) / cell[None, :]).astype(jnp.int32),
@@ -141,7 +150,6 @@ def dda_cells(o, d, t_max, grid_lo, cell, axis: int):
     nxt = c + (d >= 0).astype(jnp.int32)
     t_next = (grid_lo[None, :] + nxt.astype(jnp.float32) * cell[None, :]
               - o) * inv  # (R, 3)
-    dt = jnp.abs(cell[None, :] * inv)
 
     def step_fn(carry, _):
         c, t_next, alive, t_cur = carry
