@@ -106,7 +106,7 @@ def visit_q(blk, rayf_hi, rayf_lo):
     )
 
 
-def visit_epilogue(q, t_best, best, base_id):
+def visit_epilogue(q, t_best, best, base_id, enabled=True):
     """VPU epilogue of one cluster visit: MT predicate + min-reduction.
 
     Sign-canonical multiply-form Möller-Trumbore: dividing by det flips
@@ -168,7 +168,10 @@ def visit_epilogue(q, t_best, best, base_id):
     tmin = jax.lax.bitcast_convert_type(
         menc & jnp.int32(~(CLUSTER_TRIS - 1)), jnp.float32
     )
-    better = tmin < t_best
+    # `enabled` (scalar bool) gates the update for grouped-visit walks:
+    # a group's trailing visits past n_cand re-test a clamped candidate
+    # and must never win (see _cluster_kernel VISIT_GROUP).
+    better = (tmin < t_best) & enabled
     best = jnp.where(
         better, base_id * CLUSTER_TRIS + (menc & (CLUSTER_TRIS - 1)),
         best,
@@ -177,77 +180,102 @@ def visit_epilogue(q, t_best, best, base_id):
     return t_best, best
 
 
-def _cluster_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_ref,
-                    t_ref, idx_ref):
-    """One grid step = one RAY_BLOCK-ray block walking its candidate row.
-
-    cand_ref:  (8, K) i32 SMEM — candidate rows for 8 ray blocks (Mosaic
-        requires sublane-dim blocks divisible by 8, so per-block rows are
-        windowed 8 at a time; this block's row is program_id % 8)
-    count_ref: (8, 1) i32 SMEM — candidate counts, same windowing
-    tnear_ref: (8, K) f32 SMEM — sorted conservative entry distances
-    rayf_ref:  (16, RB) f32 VMEM — rows [d(3), o x d(3), o(3), 1, 0...]
-    feat_ref:  (16, C*512) f32 VMEM — the whole feature table, resident
-    t_ref:   (8, RB) f32 out — row 0 = closest t (T_FAR miss)
-    idx_ref: (8, RB) i32 out — row 0 = padded cluster slot (-1 miss)
-    """
-    RB = rayf_ref.shape[1]
-    K = cand_ref.shape[1]
-    row = pl.program_id(0) % 8
-    rayf = rayf_ref[:, :]
-    rayf_hi, rayf_lo = split_bf16(rayf)
-    t0 = rayf[10:11, :]  # per-ray t upper bound (T_FAR when unbounded)
-    n_cand = count_ref[row, 0]
-
-    def cond(state):
-        k, tmax, _, _ = state
-        # tmax is the block's worst best-hit so far (carried as a scalar
-        # so the while condition stays scalar-only for Mosaic). Once the
-        # next-nearest cluster cannot contain a closer hit for ANY ray,
-        # no later (farther) cluster can either: ordered early exit.
-        kc = jnp.minimum(k, K - 1)
-        return (k < n_cand) & (tnear_ref[row, kc] < tmax)
-
-    def body(state):
-        k, _, t_best, best = state
-        cid = cand_ref[row, k]
-        col0 = pl.multiple_of(cid * CLUSTER_COLS, CLUSTER_COLS)
-        blk = feat_ref[:, pl.ds(col0, CLUSTER_COLS)]  # (16, 512)
-        q = visit_q(blk, rayf_hi, rayf_lo)
-        t_best, best = visit_epilogue(q, t_best, best, cid)
-        return k + 1, jnp.max(t_best), t_best, best
-
-    init = (
-        jnp.int32(0),
-        jnp.max(t0),
-        t0,
-        jnp.full((1, RB), -1, jnp.int32),
-    )
-    k_end, _, t_best, best = jax.lax.while_loop(cond, body, init)
-    t_ref[:, :] = jnp.broadcast_to(t_best, (8, RB))
-    idx_ref[:, :] = jnp.broadcast_to(best, (8, RB))
-    # Row 1 carries the block's visit count (the rows are broadcast
-    # copies anyway): free instrumentation for the roofline accounting
-    # (scripts/roofline.py). Row 0 — the only row callers consume — is
-    # unchanged.
-    idx_ref[1:2, :] = jnp.zeros((1, RB), jnp.int32) + k_end
+# Clusters tested per while-loop iteration of the dense kernel. The
+# roofline's kernel-variant experiments put the per-visit cost at
+# ~0.6us matmul + ~1.5us VPU epilogue + ~1.0us serial loop/SMEM/slice
+# overhead (PROFILE.md r3); unrolling G visits per iteration divides
+# the loop term by G. The ordered early exit coarsens to G-visit
+# granularity (at most G-1 extra visits per block exit) and trailing
+# visits past n_cand are epilogue-gated (visit_epilogue `enabled`).
+VISIT_GROUP = 4
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _cluster_pallas(cand, count, tnear, rayf, feat, interpret):
+def _make_cluster_kernel(visit_group: int):
+    def _cluster_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, feat_ref,
+                        t_ref, idx_ref):
+        """One grid step = one RAY_BLOCK-ray block walking its candidates.
+
+        cand_ref:  (8, K) i32 SMEM — candidate rows for 8 ray blocks
+            (Mosaic requires sublane-dim blocks divisible by 8, so
+            per-block rows are windowed 8 at a time; this block's row is
+            program_id % 8)
+        count_ref: (8, 1) i32 SMEM — candidate counts, same windowing
+        tnear_ref: (8, K) f32 SMEM — sorted conservative entry distances
+        rayf_ref:  (16, RB) f32 VMEM — rows [d(3), o x d(3), o(3), 1, ...]
+        feat_ref:  (16, C*512) f32 VMEM — the whole feature table, resident
+        t_ref:   (8, RB) f32 out — row 0 = closest t (T_FAR miss)
+        idx_ref: (8, RB) i32 out — row 0 = padded cluster slot (-1 miss)
+        """
+        RB = rayf_ref.shape[1]
+        K = cand_ref.shape[1]
+        row = pl.program_id(0) % 8
+        rayf = rayf_ref[:, :]
+        rayf_hi, rayf_lo = split_bf16(rayf)
+        t0 = rayf[10:11, :]  # per-ray t upper bound (T_FAR if unbounded)
+        n_cand = count_ref[row, 0]
+
+        def cond(state):
+            k, tmax, _, _ = state
+            # tmax is the block's worst best-hit so far (carried as a
+            # scalar so the while condition stays scalar-only for
+            # Mosaic). Once the next-nearest cluster cannot contain a
+            # closer hit for ANY ray, no later (farther) cluster can
+            # either: ordered early exit.
+            kc = jnp.minimum(k, K - 1)
+            return (k < n_cand) & (tnear_ref[row, kc] < tmax)
+
+        def body(state):
+            k, _, t_best, best = state
+            for g in range(visit_group):
+                kk = k + g if g else k
+                ok = kk < n_cand
+                kc = jnp.minimum(kk, K - 1)
+                cid = jnp.maximum(cand_ref[row, kc], 0)
+                col0 = pl.multiple_of(cid * CLUSTER_COLS, CLUSTER_COLS)
+                blk = feat_ref[:, pl.ds(col0, CLUSTER_COLS)]  # (16, 512)
+                q = visit_q(blk, rayf_hi, rayf_lo)
+                t_best, best = visit_epilogue(q, t_best, best, cid,
+                                              enabled=ok)
+            return k + visit_group, jnp.max(t_best), t_best, best
+
+        init = (
+            jnp.int32(0),
+            jnp.max(t0),
+            t0,
+            jnp.full((1, RB), -1, jnp.int32),
+        )
+        k_end, _, t_best, best = jax.lax.while_loop(cond, body, init)
+        t_ref[:, :] = jnp.broadcast_to(t_best, (8, RB))
+        idx_ref[:, :] = jnp.broadcast_to(best, (8, RB))
+        # Row 1 carries the block's visit count (the rows are broadcast
+        # copies anyway): free instrumentation for the roofline
+        # accounting (scripts/roofline.py). Row 0 — the only row callers
+        # consume — is unchanged. With grouping this counts ATTEMPTED
+        # visits (a multiple of visit_group).
+        idx_ref[1:2, :] = jnp.zeros((1, RB), jnp.int32) + k_end
+
+    return _cluster_kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _cluster_pallas(cand, count, tnear, rayf, feat, interpret,
+                    visit_group=VISIT_GROUP):
     """custom_vjp boundary (same detach policy as ops/traverse_pallas.py:
     traversal outputs are piecewise-constant in the differentiable
     parameters, so the VJP returns zero cotangents — SURVEY.md §3.4/T9)."""
-    return _cluster_impl(cand, count, tnear, rayf, feat, interpret)
+    return _cluster_impl(cand, count, tnear, rayf, feat, interpret,
+                         visit_group)
 
 
-def _cluster_fwd(cand, count, tnear, rayf, feat, interpret):
-    out = _cluster_impl(cand, count, tnear, rayf, feat, interpret)
+def _cluster_fwd(cand, count, tnear, rayf, feat, interpret,
+                 visit_group=VISIT_GROUP):
+    out = _cluster_impl(cand, count, tnear, rayf, feat, interpret,
+                        visit_group)
     return out, (cand.shape, count.shape, tnear.shape, rayf.shape,
                  feat.shape)
 
 
-def _cluster_bwd(interpret, res, g):
+def _cluster_bwd(interpret, visit_group, res, g):
     c_shape, n_shape, tn_shape, r_shape, f_shape = res
     return (
         np.zeros(c_shape, jax.dtypes.float0),  # int input -> float0
@@ -261,8 +289,9 @@ def _cluster_bwd(interpret, res, g):
 _cluster_pallas.defvjp(_cluster_fwd, _cluster_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _cluster_impl(cand, count, tnear, rayf, feat, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "visit_group"))
+def _cluster_impl(cand, count, tnear, rayf, feat, interpret,
+                  visit_group=VISIT_GROUP):
     R = rayf.shape[1]
     block = min(R, RAY_BLOCK)
     assert R % block == 0, (R, block)
@@ -275,7 +304,7 @@ def _cluster_impl(cand, count, tnear, rayf, feat, interpret):
     # the SMEM window. Clamp here at the kernel boundary.
     count = jnp.minimum(count, K)
     t_out, idx_out = pl.pallas_call(
-        _cluster_kernel,
+        _make_cluster_kernel(visit_group),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, K), lambda i: (i // 8, 0),
@@ -304,13 +333,15 @@ def _cluster_impl(cand, count, tnear, rayf, feat, interpret):
     return t_out[0], idx_out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def cluster_visit_counts(cand, count, tnear, rayf, feat, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "visit_group"))
+def cluster_visit_counts(cand, count, tnear, rayf, feat, interpret,
+                         visit_group=VISIT_GROUP):
     """Per-block visit counts of the ordered walk (roofline probe).
 
     Runs the same kernel as _cluster_impl and reads the k_end the
     kernel writes into idx row 1 (see _cluster_kernel). Returns
-    (n_blocks,) i32. Not differentiable — profiling only.
+    (n_blocks,) i32 ATTEMPTED visits (a multiple of visit_group).
+    Not differentiable — profiling only.
     """
     R = rayf.shape[1]
     block = min(R, RAY_BLOCK)
@@ -318,7 +349,7 @@ def cluster_visit_counts(cand, count, tnear, rayf, feat, interpret):
     K = cand.shape[1]
     count = jnp.minimum(count, K)
     _, idx_out = pl.pallas_call(
-        _cluster_kernel,
+        _make_cluster_kernel(visit_group),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, K), lambda i: (i // 8, 0),
@@ -545,7 +576,8 @@ def exit_bound(cl_lo, cl_hi, o, d):
 
 
 def closest_hit_cluster(geom, o, d, interpret: bool | None = None,
-                        use_cull: bool = True, t_max=None):
+                        use_cull: bool = True, t_max=None,
+                        visit_group: int = VISIT_GROUP):
     """Drop-in closest hit via the dense cluster kernel.
 
     Same contract as engine/intersect.py:brute / accel/traverse.py:
@@ -600,7 +632,8 @@ def closest_hit_cluster(geom, o, d, interpret: bool | None = None,
         count = jnp.full((B,), n_clusters, jnp.int32)
         tnear = jnp.full((B, n_clusters), -jnp.inf, jnp.float32)
     t_best, slot = _cluster_pallas(cand, count, tnear, rayf,
-                                   jnp.asarray(geom.cl_feat), interpret)
+                                   jnp.asarray(geom.cl_feat), interpret,
+                                   visit_group)
     t_best = t_best[:R0]
     slot = slot[:R0]
 

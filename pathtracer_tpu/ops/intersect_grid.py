@@ -13,7 +13,11 @@ math only:
      (Amanatides-Woo), producing each ray's morton cell ids and cell
      ENTRY distances in front-to-back order. Pure vectorized
      arithmetic: static step count, data-independent control flow, no
-     sorts, no per-ray loops.
+     sorts, no per-ray loops. Because it is gather-free and per-ray
+     deterministic, the era ladder RE-RUNS it per era on the selected
+     stragglers instead of gathering windows from a materialized
+     (R, S) table (round-4 redesign; the windowed 2-D gathers it
+     replaces ran at ~15ns/element).
   2. PAIR BINNING, in phases of `PHASE_STEPS` DDA steps: (ray, step)
      pairs are sorted by cell id, so each 512-pair kernel block works
      on a handful of morton-adjacent cells — whose cluster ranges are
@@ -106,18 +110,25 @@ def _morton3(ix, iy, iz, bits: int):
     return m
 
 
-def dda_cells(o, d, t_max, grid_lo, cell, axis: int):
+def dda_cells(o, d, t_max, grid_lo, cell, axis: int,
+              length: int | None = None):
     """Lockstep 3D-DDA: each ray's cells front-to-back, all rays at once.
 
-    Returns (cells, entry), both (S, R) with S = 3*axis:
+    Returns (cells, entry), both (S, R) with S = 3*axis (or `length`
+    when given — the first `length` steps only; cheap re-derivation is
+    what lets the era ladder RECOMPUTE windows per era instead of
+    gathering from a materialized (R, S) table, see closest_hit_grid):
       cells: i32 morton cell ids, -1 past the ray's last cell
       entry: f32 distance at which the ray ENTERS that cell
              (_ENTRY_INF for invalid steps; nondecreasing along S)
 
     A ray contributes cells only while entry < t_max; rays with
     t_max <= 2*T_MIN (dead-lane canonicalization) contribute none.
+    Per-ray outputs are pure elementwise arithmetic in (o, d, t_max) —
+    bitwise identical for a ray regardless of which batch it appears
+    in, which is what makes recompute == materialize.
     """
-    S = 3 * axis
+    S = 3 * axis if length is None else length
     bits = max(1, int(axis - 1).bit_length())
     tiny = 1e-20
     dd = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
@@ -346,7 +357,9 @@ FIRST_STEPS = 6
 def closest_hit_grid(geom, o, d, interpret: bool | None = None,
                      t_max=None, max_cand: int = 2 * ROUND_CAND,
                      phase_steps: int = PHASE_STEPS,
-                     first_steps: int = FIRST_STEPS):
+                     first_steps: int = FIRST_STEPS,
+                     era_steps: int | None = None,
+                     stats: bool = False):
     """Drop-in closest hit via phased per-ray DDA + the stream kernel.
 
     Same contract as intersect_cluster.closest_hit_cluster: (t, n, mat),
@@ -354,8 +367,10 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     t >= t_max[i] MAY be reported as misses — the shadow contract; and
     rays with t_max <= 2*T_MIN are treated as no-ops, see module
     docstring). Requires grid tables (accel/grid.py:with_grid).
-    `max_cand` (round window) and `phase_steps` are pure performance
-    knobs; exactness comes from the phase/round loops.
+    `max_cand` (round window), `phase_steps` (compat alias for the era
+    width), `first_steps` (stage-A width) and `era_steps` (era width,
+    defaults to phase_steps) are pure performance knobs; exactness
+    comes from the phase/round loops.
 
     Why pairs + phases: any BLOCK-shared candidate structure pays the
     union of its 512 lanes' needs, and divergent bounce lanes stop
@@ -388,35 +403,14 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     o_p, d_p, t_cap_p = _pad_rays(o, d, t_cap, block)
     R = o_p.shape[0]
     B = R // block
-    W = phase_steps
+    S = 3 * axis
+    We = era_steps if era_steps is not None else phase_steps
     K = max_cand
-
-    cells, entry = dda_cells(
-        o_p, d_p, t_cap_p, jnp.asarray(geom.gr_lo),
-        jnp.asarray(geom.gr_cell), axis,
-    )
-    S = cells.shape[0]
+    grid_lo = jnp.asarray(geom.gr_lo)
+    grid_cell = jnp.asarray(geom.gr_cell)
     cell_start = jnp.asarray(geom.gr_cell_start)
-    # Ray-major (R, S) layout from here on, and NO per-ray compaction:
-    # a round of (R, S)-shaped occupancy/compaction gathers measured
-    # ~380ms EACH on-device (the 97-wide minor dim defeats the gather
-    # vectorizer), totalling ~2.7s/call — far more than the extra
-    # phases empty cells cost (a pair in an empty cell is a len-0
-    # segment: zero candidates, zero kernel work).
-    cells = cells.T
-    entry = entry.T
-    n_phases = -(-S // W)
-    pad_s = n_phases * W + 1 - S  # +1: next-phase-entry read at the end
-    cells = jnp.concatenate(
-        [cells, jnp.full((R, pad_s), -1, jnp.int32)], axis=1
-    )
-    entry = jnp.concatenate(
-        [entry, jnp.full((R, pad_s), _ENTRY_INF, jnp.float32)], axis=1
-    )
-
     rayf = _ray_features(o_p, d_p, t_cap_p)
     feat = jnp.asarray(geom.cl_feat)
-    done0 = cells[:, 0] < 0  # no cells at all (missed grid / dead lane)
     n_clusters = feat.shape[1] // CLUSTER_COLS
 
     def _phase_core(cellsW, rayf_x, t_best, idx_best):
@@ -564,82 +558,127 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         t_best = jnp.where(improved_ray, t_from, t_best)
         return t_best, idx_best
 
-    def _retire(done, ptr_next, t_best):
-        """Per-ray termination at cell column ptr_next: cells exhausted
-        or best hit nearer than the next cell's entry (margin-shrunk —
-        fp conservative). Column indices clamp into the -1/_ENTRY_INF
-        padding, so over-advanced pointers read as exhausted."""
-        col = jnp.minimum(ptr_next, cells.shape[1] - 1)
-        next_cell = jnp.take_along_axis(cells, col[:, None], axis=1)[:, 0]
-        next_entry = jnp.take_along_axis(entry, col[:, None], axis=1)[:, 0]
-        resolved = t_best <= next_entry * _ENTRY_REL - _ENTRY_ABS
-        return done | (next_cell < 0) | resolved
-
     # ---- stage A: ONE phase at full R (every ray is live anyway) ----
     # Narrower than the era width: the median ray resolves within its
     # first 2-3 cells, and at full R every extra up-front cell is paid
     # by EVERY ray (phase-0 kernel work scales with W0), while the
-    # stragglers continue at 1/4 cost in the eras below.
-    W0 = min(first_steps, W)
+    # stragglers continue at reduced cost in the eras below. The DDA
+    # runs only W0+1 steps here — the +1 row is the retirement probe.
+    W0 = min(first_steps, S)
+    L0 = min(W0 + 1, S)
+    cells0, entry0 = dda_cells(o_p, d_p, t_cap_p, grid_lo, grid_cell,
+                               axis, length=L0)  # (L0, R)
+    done0 = cells0[0] < 0  # no cells at all (missed grid / dead lane)
     t_best = t_cap_p
     idx_best = jnp.full((R,), -1, jnp.int32)
-    cellsW0 = jnp.where(done0[:, None], -1, cells[:, :W0])
+    cellsW0 = jnp.where(done0[:, None], -1, cells0[:W0].T)
     t_best, idx_best = _phase_core(cellsW0, rayf, t_best, idx_best)
-    done = _retire(done0, jnp.full((R,), W0, jnp.int32), t_best)
+    if L0 > W0:
+        next_cell0 = cells0[W0]
+        next_entry0 = entry0[W0]
+    else:  # W0 covers the whole grid: nothing can remain
+        next_cell0 = jnp.full((R,), -1, jnp.int32)
+        next_entry0 = jnp.full((R,), _ENTRY_INF, jnp.float32)
+    resolved0 = t_best <= next_entry0 * _ENTRY_REL - _ENTRY_ABS
+    done = done0 | (next_cell0 < 0) | resolved0
     ptr = jnp.full((R,), W0, jnp.int32)
+    live_a = jnp.sum(~done)  # stats: stragglers entering the era ladder
 
     # ---- stage B: era ladder over a COMPACTED live-ray buffer ----
-    # After phase 0 most rays have retired (measured ~80%+ at W=6 on
-    # the 2M-tri scene), but every phase's pair glue costs O(R*W)
+    # After phase 0 most rays have retired (measured ~80%+ at axis=8 on
+    # the 2M-tri scene), but every phase's pair glue costs O(Rx*We)
     # regardless of the live count. Each era argsorts rays by done
-    # (live first), continues the FIRST R2 live rays from their own
-    # cell pointer at 1/4 cost, and scatters the carries back. If more
-    # than R2 rays are live, later eras pick up the rest (stable sort +
-    # per-ray pointers make progress monotone); the era cap covers the
-    # worst case of every ray walking every phase in R/R2 batches.
-    R2 = max(2048, -(-(R // 4) // 2048) * 2048)
-    while (R2 * W) % (8 * block):  # Bp2 must be a multiple of 8
-        R2 += 2048
-    if R2 >= R:
-        R2 = R
-    MAX_ERAS = 4 * (R // R2) * n_phases
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (R2, W), 1)
+    # (live first), continues the FIRST Rx live rays from their own
+    # cell pointer, and scatters the carries back. If more than Rx rays
+    # are live, later eras pick up the rest (stable sort + per-ray
+    # pointers make progress monotone); the era caps cover the worst
+    # case of every ray walking every phase in R/Rx batches. The ladder
+    # runs at R/4 first, then drops to R/16 once the live count fits —
+    # straggler eras stop paying quarter-R glue for a few hundred rays.
+    #
+    # Per-era ray state is RECOMPUTED, not gathered: the era re-runs
+    # the (gather-free, elementwise) DDA on its selected rays and
+    # selects the [ptr, ptr+We] window arithmetically. The alternative
+    # — materializing (R, S) cell/entry tables and gathering (Rx, We)
+    # windows — pays ~15ns/element 2-D gathers (the r3 design; its
+    # era gather fusion alone was ~7ms/era at axis=16), while the DDA
+    # recompute is a few-ms fused scan with bitwise-identical per-ray
+    # results (dda_cells is elementwise in (o, d, t_max)).
+    n_phases_e = -(-S // We)
 
-    def era_cond(state):
+    def _ladder_size(target):
+        Rx = max(2048, -(-target // 2048) * 2048)
+        while (Rx * We) % (8 * block):  # Bp must be a multiple of 8
+            Rx += 2048
+        return min(Rx, R)
+
+    R2 = _ladder_size(R // 4)
+    R3 = _ladder_size(R // 16)
+    two_level = R3 < R2
+    probe_iota = jnp.arange(We + 1, dtype=jnp.int32)
+    s_iota = jnp.arange(S, dtype=jnp.int32)
+
+    def _make_era_body(Rx):
+        def era_body(state):
+            era, done, ptr, t_best, idx_best = state
+            sel = jnp.argsort(done, stable=True)[:Rx]
+            done_s = done[sel]
+            ptr_s = ptr[sel]
+            o_s = o_p[sel]
+            d_s = d_p[sel]
+            tm_s = t_cap_p[sel]
+            cells_e, entry_e = dda_cells(o_s, d_s, tm_s, grid_lo,
+                                         grid_cell, axis)  # (S, Rx)
+            # Arithmetic window select: exactly one step matches each
+            # (ray, w) column (or none, past the grid = exhausted).
+            cols = ptr_s[:, None] + probe_iota[None, :]  # (Rx, We+1)
+            cmp = s_iota[None, :, None] == cols[:, None, :]
+            cellsW_p = jnp.maximum(jnp.max(
+                jnp.where(cmp, cells_e.T[:, :, None], -2), axis=1), -1)
+            entryW_p = jnp.max(
+                jnp.where(cmp, entry_e.T[:, :, None], -1.0), axis=1)
+            entryW_p = jnp.where(entryW_p < 0, _ENTRY_INF, entryW_p)
+            cellsW = jnp.where(done_s[:, None], -1, cellsW_p[:, :We])
+            rayf_s = _ray_features(o_s, d_s, tm_s)  # rebuilt, no gather
+            t_s, idx_s = _phase_core(cellsW, rayf_s, t_best[sel],
+                                     idx_best[sel])
+            next_cell = cellsW_p[:, We]
+            next_entry = entryW_p[:, We]
+            resolved = t_s <= next_entry * _ENTRY_REL - _ENTRY_ABS
+            done_s = done_s | (next_cell < 0) | resolved
+            t_best = t_best.at[sel].set(t_s)
+            idx_best = idx_best.at[sel].set(idx_s)
+            done = done.at[sel].set(done_s)
+            ptr = ptr.at[sel].set(ptr_s + We)
+            return era + 1, done, ptr, t_best, idx_best
+
+        return era_body
+
+    MAX_E2 = 4 * (R // R2) * n_phases_e
+    live_floor = R3 if two_level else 0
+
+    def era_cond2(state):
         era, done, _, _, _ = state
-        return (era < MAX_ERAS) & ~jnp.all(done)
-
-    def era_body(state):
-        era, done, ptr, t_best, idx_best = state
-        sel = jnp.argsort(done, stable=True)[:R2]
-        done_s = done[sel]
-        ptr_s = ptr[sel]
-        cols = jnp.minimum(ptr_s[:, None] + col_iota,
-                           cells.shape[1] - 1)  # (R2, W)
-        cellsW = cells[sel[:, None], cols]
-        cellsW = jnp.where(done_s[:, None], -1, cellsW)
-        rayf_s16 = rayf[:, sel]
-        t_s, idx_s = _phase_core(cellsW, rayf_s16, t_best[sel],
-                                 idx_best[sel])
-        t_best = t_best.at[sel].set(t_s)
-        idx_best = idx_best.at[sel].set(idx_s)
-        ptr_next = ptr_s + W
-        done_s = _retire_sub(done_s, sel, ptr_next, t_s)
-        done = done.at[sel].set(done_s)
-        ptr = ptr.at[sel].set(ptr_next)
-        return era + 1, done, ptr, t_best, idx_best
-
-    def _retire_sub(done_s, sel, ptr_next, t_s):
-        col = jnp.minimum(ptr_next, cells.shape[1] - 1)
-        next_cell = cells[sel, col]
-        next_entry = entry[sel, col]
-        resolved = t_s <= next_entry * _ENTRY_REL - _ENTRY_ABS
-        return done_s | (next_cell < 0) | resolved
+        return (era < MAX_E2) & (jnp.sum(~done) > live_floor)
 
     estate = (jnp.int32(0), done, ptr, t_best, idx_best)
-    _, _, _, t_fin, idx_fin = jax.lax.while_loop(
-        era_cond, era_body, estate
+    era_fin, done, ptr, t_best, idx_best = jax.lax.while_loop(
+        era_cond2, _make_era_body(R2), estate
     )
+    if two_level:
+        MAX_E3 = 4 * (R // R3) * n_phases_e
+
+        def era_cond3(state):
+            era, done, _, _, _ = state
+            return (era < MAX_E3) & ~jnp.all(done)
+
+        estate = (jnp.int32(0), done, ptr, t_best, idx_best)
+        era_fin3, done, ptr, t_best, idx_best = jax.lax.while_loop(
+            era_cond3, _make_era_body(R3), estate
+        )
+        era_fin = era_fin + era_fin3
+    done_fin = done
+    t_fin, idx_fin = t_best, idx_best
     t_best = t_fin[:R0]
     slot = idx_fin[:R0]
 
@@ -663,4 +702,18 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         t_out = jnp.where(better, sv, t_out)
         n_best = jnp.where(better[:, None], ns, n_best)
         m_best = jnp.where(better, geom.sph_mat[si], m_best)
+    if stats:
+        # Measurement-only diagnostics (scripts/grid_profile.py): how
+        # many eras the straggler ladder actually ran, and how many rays
+        # were still live after the full-R first phase — the two
+        # quantities that set the O(R2*W)-per-era glue bill.
+        info = {
+            "eras": era_fin,
+            "live_after_phase0": live_a,
+            "unfinished": jnp.sum(~done_fin),
+            "n_phases": n_phases_e,
+            "R_pad": R,
+            "R2": R2,
+        }
+        return t_out, n_best, m_best, info
     return t_out, n_best, m_best
