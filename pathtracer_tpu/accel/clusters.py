@@ -50,16 +50,39 @@ import numpy as np
 from ..scene.model import Scene
 
 CLUSTER_TRIS = 128  # triangles per padded cluster (one lane tile)
-FEAT_ROWS = 16  # feature rows (2 f32 sublane tiles)
+FEAT_ROWS = 16  # ray-feature rows (2 f32 sublane tiles)
 QUANTITIES = 4  # det, u_num, v_num, t_num
 CLUSTER_COLS = CLUSTER_TRIS * QUANTITIES  # feature columns per cluster
+# Stacked bf16 triangle-feature rows: [hi(16); hi(16); lo(16)]. Paired
+# with ray rows stacked [hi; lo; hi], ONE K=48 bf16 matmul computes
+# hi*hi + hi*lo + lo*hi — the exact three error-split passes the
+# kernels used to issue as separate K=16 dots (intersect_cluster.
+# split_bf16), with the same dropped ~2^-18 lo*lo term, but one MXU
+# issue and no per-visit split. Same bytes/col as the old f32 table
+# x1.5; precomputed once at build instead of re-split every visit.
+FEAT_STACK = 3 * FEAT_ROWS
+
+
+def stack_feat(feat32: np.ndarray) -> np.ndarray:
+    """(16, N) f32 feature table -> (48, N) bf16 [hi; hi; lo] stack."""
+    import ml_dtypes
+
+    hi = feat32.astype(ml_dtypes.bfloat16)
+    lo = (feat32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.concatenate([hi, hi, lo], axis=0)
+
+
+def empty_feat() -> np.ndarray:
+    import ml_dtypes
+
+    return np.zeros((FEAT_STACK, 0), ml_dtypes.bfloat16)
 
 
 @dataclasses.dataclass
 class ClusterSet:
     lo: np.ndarray  # (C, 3) f32 cluster AABB min
     hi: np.ndarray  # (C, 3) f32 cluster AABB max
-    feat: np.ndarray  # (16, C*512) f32 feature columns
+    feat: np.ndarray  # (48, C*512) bf16 stacked feature columns
     tri_map: np.ndarray  # (C*128,) i32 padded slot -> original tri (-1 pad)
 
 
@@ -148,7 +171,8 @@ def cluster_tables(groups: list[np.ndarray], v0, e1, e2) -> ClusterSet:
         tb = base + 3 * CLUSTER_TRIS
         feat[6:9, tb: tb + k] = n[ids].T
         feat[9, tb: tb + k] = t_c[ids]
-    return ClusterSet(lo=lo, hi=hi, feat=feat, tri_map=tri_map)
+    return ClusterSet(lo=lo, hi=hi, feat=stack_feat(feat),
+                      tri_map=tri_map)
 
 
 def build_clusters(v0, e1, e2, max_tris: int = CLUSTER_TRIS) -> ClusterSet:
@@ -160,7 +184,7 @@ def build_clusters(v0, e1, e2, max_tris: int = CLUSTER_TRIS) -> ClusterSet:
         return ClusterSet(
             lo=np.zeros((0, 3), np.float32),
             hi=np.zeros((0, 3), np.float32),
-            feat=np.zeros((FEAT_ROWS, 0), np.float32),
+            feat=empty_feat(),
             tri_map=np.zeros((0,), np.int32),
         )
     p1 = v0 + e1
@@ -235,7 +259,7 @@ def check_cluster_invariants(cs: ClusterSet, n_tris: int,
                              max_tris: int = CLUSTER_TRIS) -> None:
     """Structural invariants; raises AssertionError on violation."""
     C = len(cs.lo)
-    assert cs.feat.shape == (FEAT_ROWS, C * CLUSTER_COLS)
+    assert cs.feat.shape == (FEAT_STACK, C * CLUSTER_COLS)
     assert cs.tri_map.shape == (C * CLUSTER_TRIS,)
     real = cs.tri_map[cs.tri_map >= 0]
     assert sorted(real.tolist()) == list(range(n_tris)), (

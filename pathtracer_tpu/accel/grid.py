@@ -45,7 +45,7 @@ import dataclasses
 import numpy as np
 
 from ..scene.model import Scene
-from .clusters import CLUSTER_TRIS, cluster_tables
+from .clusters import CLUSTER_TRIS, cluster_tables, empty_feat
 
 # Inflation of triangle AABBs when assigning to cells, relative to cell
 # size: a hit point within fp error of a cell boundary must find its
@@ -60,7 +60,7 @@ _BOX_PAD_REL = 1e-4
 class GridSet:
     lo: np.ndarray  # (C, 3) f32 cluster AABB min (cell-chunk boxes)
     hi: np.ndarray  # (C, 3) f32
-    feat: np.ndarray  # (16, C*512) f32 feature columns
+    feat: np.ndarray  # (48, C*512) bf16 stacked feature columns
     tri_map: np.ndarray  # (C*128,) i32 padded slot -> original tri id
     cell_start: np.ndarray  # (AXIS^3 + 1,) i32 morton cell -> cluster range
     grid_lo: np.ndarray  # (3,) f32 grid box min
@@ -107,7 +107,7 @@ def build_grid(v0, e1, e2, axis: int | None = None) -> GridSet:
         return GridSet(
             lo=np.zeros((0, 3), np.float32),
             hi=np.zeros((0, 3), np.float32),
-            feat=np.zeros((16, 0), np.float32),
+            feat=empty_feat(),
             tri_map=np.zeros((0,), np.int32),
             cell_start=np.zeros((G + 1,), np.int32),
             grid_lo=np.zeros((3,), np.float32),

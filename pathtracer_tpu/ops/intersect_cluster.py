@@ -58,7 +58,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
-from ..accel.clusters import CLUSTER_COLS, CLUSTER_TRIS, FEAT_ROWS
+from ..accel.clusters import (
+    CLUSTER_COLS,
+    CLUSTER_TRIS,
+    FEAT_ROWS,
+    FEAT_STACK,
+)
 from ..engine import intersect as isect
 
 RAY_BLOCK = 512  # rays per grid step (lanes; 4 f32 vregs per row)
@@ -69,7 +74,8 @@ _VMEM_FEAT_BYTES = 10 * 1024 * 1024
 
 
 def fits_vmem(n_clusters: int) -> bool:
-    return n_clusters * CLUSTER_COLS * FEAT_ROWS * 4 <= _VMEM_FEAT_BYTES
+    # Stacked bf16 table: 48 rows x 2 bytes per column.
+    return n_clusters * CLUSTER_COLS * FEAT_STACK * 2 <= _VMEM_FEAT_BYTES
 
 
 def split_bf16(x):
@@ -78,32 +84,42 @@ def split_bf16(x):
     The MXU's single-pass f32 dot rounds multiplicands to bf16, which
     flips near-edge hit predicates (~2% of rays wrong vs brute — verified
     on v5e), and Precision.HIGHEST sent the remote Mosaic compile into a
-    >20-minute stall. Three native bf16 passes keep the known-fast
-    lowering:  x*y ~= hi(x)hi(y) + hi(x)lo(y) + lo(x)hi(y), dropping only
-    the ~2^-18-relative lo*lo term.
+    >20-minute stall. The error-split product
+    x*y ~= hi(x)hi(y) + hi(x)lo(y) + lo(x)hi(y) (dropping only the
+    ~2^-18-relative lo*lo term) keeps the known-fast bf16 lowering;
+    since round 4 the three passes ride ONE K=48 matmul over stacked
+    operands instead of three K=16 dots (see stack_rays / visit_q and
+    accel/clusters.py:stack_feat).
     """
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
 
 
-def visit_q(blk, rayf_hi, rayf_lo):
-    """(16, 512) feature block x (16, RB) split rays -> (512, RB) q.
+def stack_rays(rayf):
+    """(16, RB) f32 ray features -> (48, RB) bf16 [hi; lo; hi] stack.
+
+    Pairs with the triangle table's [hi; hi; lo] stack
+    (accel/clusters.py:stack_feat): one K=48 contraction then sums
+    hi*hi + hi*lo + lo*hi — exactly the old three error-split passes,
+    in one MXU issue, with the same dropped lo*lo term. Built once per
+    kernel block (the table side is prebuilt at scene build).
+    """
+    hi, lo = split_bf16(rayf)
+    return jnp.concatenate([hi, lo, hi], axis=0)
+
+
+def visit_q(blk, rayf48):
+    """(48, 512) stacked feature block x (48, RB) stacked rays -> q.
 
     q rows [0:128)=det, [128:256)=u*det, [256:384)=v*det, [384:512)=t*det
     for the block's 128 triangles against all RB rays — one cluster visit
-    on the MXU (near-f32 via the three-pass split, see split_bf16).
+    in ONE MXU matmul (near-f32 via the stacked error split, see
+    stack_rays).
     """
-    b_hi, b_lo = split_bf16(blk)
     dims = (((0,), (0,)), ((), ()))
-    return (
-        jax.lax.dot_general(
-            b_hi, rayf_hi, dims, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(
-            b_hi, rayf_lo, dims, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(
-            b_lo, rayf_hi, dims, preferred_element_type=jnp.float32)
-    )
+    return jax.lax.dot_general(
+        blk, rayf48, dims, preferred_element_type=jnp.float32)
 
 
 def visit_epilogue(q, t_best, best, base_id, enabled=True):
@@ -202,7 +218,7 @@ def _make_cluster_kernel(visit_group: int):
         count_ref: (8, 1) i32 SMEM — candidate counts, same windowing
         tnear_ref: (8, K) f32 SMEM — sorted conservative entry distances
         rayf_ref:  (16, RB) f32 VMEM — rows [d(3), o x d(3), o(3), 1, ...]
-        feat_ref:  (16, C*512) f32 VMEM — the whole feature table, resident
+        feat_ref:  (48, C*512) bf16 VMEM — stacked table, resident
         t_ref:   (8, RB) f32 out — row 0 = closest t (T_FAR miss)
         idx_ref: (8, RB) i32 out — row 0 = padded cluster slot (-1 miss)
         """
@@ -210,7 +226,7 @@ def _make_cluster_kernel(visit_group: int):
         K = cand_ref.shape[1]
         row = pl.program_id(0) % 8
         rayf = rayf_ref[:, :]
-        rayf_hi, rayf_lo = split_bf16(rayf)
+        rayf48 = stack_rays(rayf)
         t0 = rayf[10:11, :]  # per-ray t upper bound (T_FAR if unbounded)
         n_cand = count_ref[row, 0]
 
@@ -232,8 +248,8 @@ def _make_cluster_kernel(visit_group: int):
                 kc = jnp.minimum(kk, K - 1)
                 cid = jnp.maximum(cand_ref[row, kc], 0)
                 col0 = pl.multiple_of(cid * CLUSTER_COLS, CLUSTER_COLS)
-                blk = feat_ref[:, pl.ds(col0, CLUSTER_COLS)]  # (16, 512)
-                q = visit_q(blk, rayf_hi, rayf_lo)
+                blk = feat_ref[:, pl.ds(col0, CLUSTER_COLS)]  # (48, 512)
+                q = visit_q(blk, rayf48)
                 t_best, best = visit_epilogue(q, t_best, best, cid,
                                               enabled=ok)
             return k + visit_group, jnp.max(t_best), t_best, best

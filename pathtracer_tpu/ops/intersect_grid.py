@@ -71,13 +71,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
-from ..accel.clusters import CLUSTER_COLS, FEAT_ROWS
+from ..accel.clusters import CLUSTER_COLS, FEAT_ROWS, FEAT_STACK
 from ..engine import intersect as isect
 from .intersect_cluster import (
     RAY_BLOCK,
     _pad_rays,
     _ray_features,
-    split_bf16,
+    stack_rays,
     visit_epilogue,
     visit_q,
 )
@@ -210,14 +210,14 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
     count_ref: (8, 1) i32 SMEM — candidates this round (0 = skip)
     rayf_ref:  (16, RB) f32 VMEM — pair ray features; row 10 = the
         pair's current best-t (upper bound)
-    feat_hbm:  (16, C*512) f32 ANY/HBM — full feature table
+    feat_hbm:  (48, C*512) bf16 ANY/HBM — stacked feature table
     t_ref/idx_ref: (8, RB) outputs, row 0 meaningful
-    buf: (2, 16, 512) f32 VMEM double buffer; sems: (2,) DMA semaphores
+    buf: (2, 48, 512) bf16 VMEM double buffer; sems: (2,) DMA semaphores
     """
     RB = rayf_ref.shape[1]
     row = pl.program_id(0) % 8
     rayf = rayf_ref[:, :]
-    rayf_hi, rayf_lo = split_bf16(rayf)
+    rayf48 = stack_rays(rayf)
     t0 = rayf[10:11, :]
     n_cand = count_ref[row, 0]
 
@@ -247,7 +247,7 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
             dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
         dma(slot, k).wait()
-        q = visit_q(buf[slot], rayf_hi, rayf_lo)
+        q = visit_q(buf[slot], rayf48)
         cid = cand_ref[row, k]
         t_best, best = visit_epilogue(q, t_best, best, cid)
         return k + 1, t_best, best
@@ -330,7 +330,7 @@ def _pair_full(cand, count, rayf, interpret, feat):
             jax.ShapeDtypeStruct((8, R), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_ROWS, CLUSTER_COLS), jnp.float32),
+            pltpu.VMEM((2, FEAT_STACK, CLUSTER_COLS), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

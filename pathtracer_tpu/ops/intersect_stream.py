@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import constants as C
-from ..accel.clusters import CLUSTER_COLS, FEAT_ROWS
+from ..accel.clusters import CLUSTER_COLS, FEAT_ROWS, FEAT_STACK
 from ..engine import intersect as isect
 from .intersect_cluster import (
     RAY_BLOCK,
@@ -61,7 +61,7 @@ from .intersect_cluster import (
     _ray_features,
     exit_bound,
     ray_super_mask,
-    split_bf16,
+    stack_rays,
     visit_epilogue,
     visit_q,
 )
@@ -83,15 +83,15 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, t_in_ref,
     tnear_ref: (8, K) f32 SMEM — sorted conservative entry distances
     rayf_ref:  (16, RB) f32 VMEM — ray feature rows
     t_in_ref / idx_in_ref: (8, RB) VMEM — carried best so far (row 0)
-    feat_hbm:  (16, C*512) f32 ANY/HBM — full feature table (unblocked)
+    feat_hbm:  (48, C*512) bf16 ANY/HBM — stacked table (unblocked)
     t_ref/idx_ref: (8, RB) outputs, row 0 meaningful
-    buf:  (2, 16, 512) f32 VMEM scratch — double buffer
+    buf:  (2, 48, 512) bf16 VMEM scratch — double buffer
     sems: (2,) DMA semaphores
     """
     RB = rayf_ref.shape[1]
     K = cand_ref.shape[1]
     row = pl.program_id(0) % 8
-    rayf_hi, rayf_lo = split_bf16(rayf_ref[:, :])
+    rayf48 = stack_rays(rayf_ref[:, :])
     t0 = t_in_ref[0:1, :]
     best0 = idx_in_ref[0:1, :]
     n_cand = count_ref[row, 0]
@@ -124,7 +124,7 @@ def _stream_kernel(cand_ref, count_ref, tnear_ref, rayf_ref, t_in_ref,
             dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
         dma(slot, k).wait()
-        q = visit_q(buf[slot], rayf_hi, rayf_lo)
+        q = visit_q(buf[slot], rayf48)
         cid = cand_ref[row, k]
         t_best, best = visit_epilogue(q, t_best, best, cid)
         return k + 1, jnp.max(t_best), t_best, best
@@ -213,7 +213,7 @@ def _stream_impl(cand, count, tnear, rayf, t_in, idx_in, feat, interpret):
             jax.ShapeDtypeStruct((8, R), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_ROWS, CLUSTER_COLS), jnp.float32),
+            pltpu.VMEM((2, FEAT_STACK, CLUSTER_COLS), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

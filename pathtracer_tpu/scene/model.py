@@ -30,6 +30,13 @@ import jax
 import numpy as np
 
 
+def _np_bf16():
+    """numpy-compatible bfloat16 dtype (the cl_feat table dtype)."""
+    import ml_dtypes
+
+    return ml_dtypes.bfloat16
+
+
 def _pytree_dataclass(cls):
     """Register a frozen dataclass whose every field is a pytree leaf."""
     cls = dataclasses.dataclass(frozen=True)(cls)
@@ -83,7 +90,7 @@ class Geometry:
     # (-1 for padding). Empty (0-length) arrays mean "no clusters built".
     cl_lo: jax.Array  # (C, 3) f32 cluster AABB min
     cl_hi: jax.Array  # (C, 3) f32 cluster AABB max
-    cl_feat: jax.Array  # (16, C*512) f32 feature columns (4 quantities x 128)
+    cl_feat: jax.Array  # (48, C*512) bf16 stacked [hi;hi;lo] feature columns
     cl_map: jax.Array  # (C*128,) i32 padded slot -> original tri index
     # Super-cluster tables for the per-ray line cull on large scenes
     # (accel/clusters.py:build_supers): clusters grouped ~32 at a time;
@@ -204,7 +211,7 @@ def make_geometry(
         mat_ior=np.asarray(mat_ior, np.float32).reshape(-1),
         cl_lo=empty3,
         cl_hi=empty3,
-        cl_feat=np.zeros((16, 0), np.float32),
+        cl_feat=np.zeros((48, 0), _np_bf16()),
         cl_map=empty1i,
         su_lo=empty3,
         su_hi=empty3,
