@@ -86,6 +86,17 @@ from .intersect_stream import ROUND_CAND
 # Sentinel entry distance for invalid DDA steps (finite so compares are
 # well-defined; far above any real t).
 _ENTRY_INF = np.float32(3.0e37)
+# Gather the per-pair ray features as (P, 16) rows + transpose, instead
+# of a (16, P) lane gather (see _phase_core; measured-on-v5e toggle).
+_RAYF_ROW_GATHER = True
+# Widths the pair kernel's block may widen to in the dense
+# pairs-per-cell regime (see _phase_core): one DMA + candidate walk
+# then serves 2-4x the pairs. Measured on the v5e 2M-tri scene at
+# (W0=4, We=4), 3-pass total: PB=512 569ms, 1024 564ms, 2048 609ms —
+# the (512, 2048) f32 epilogue temporaries of the widest block outweigh
+# its saved DMA/loop overhead, 1024 is the sweet spot. Exactness at all
+# widths is pinned by tests/unit/test_grid.py (wide-pair-blocks).
+_PAIR_BLOCK_LADDER: tuple[int, ...] = (1024,)
 # Conservative margin on entry-distance keys: computed cell entries can
 # exceed the true entry by fp rounding; shrinking them can only ADD
 # work, never skip a reachable hit.
@@ -261,19 +272,19 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
     idx_ref[1:2, :] = jnp.zeros((1, RB), jnp.int32) + k_end
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _pair_pallas(cand, count, rayf, interpret, feat):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pair_pallas(cand, count, rayf, interpret, pair_block, feat):
     """custom_vjp boundary — same zero-cotangent detach policy as the
     other traversal kernels (SURVEY.md §3.4/T9)."""
-    return _pair_impl(cand, count, rayf, interpret, feat)
+    return _pair_impl(cand, count, rayf, interpret, pair_block, feat)
 
 
-def _pair_fwd(cand, count, rayf, interpret, feat):
-    out = _pair_impl(cand, count, rayf, interpret, feat)
+def _pair_fwd(cand, count, rayf, interpret, pair_block, feat):
+    out = _pair_impl(cand, count, rayf, interpret, pair_block, feat)
     return out, (cand.shape, count.shape, rayf.shape, feat.shape)
 
 
-def _pair_bwd(interpret, res, g):
+def _pair_bwd(interpret, pair_block, res, g):
     c_s, n_s, r_s, f_s = res
     return (
         np.zeros(c_s, jax.dtypes.float0),
@@ -286,23 +297,25 @@ def _pair_bwd(interpret, res, g):
 _pair_pallas.defvjp(_pair_fwd, _pair_bwd)
 
 
-def pair_visit_counts(cand, count, rayf, interpret, feat):
+def pair_visit_counts(cand, count, rayf, interpret, feat,
+                      pair_block: int = RAY_BLOCK):
     """Per-block visit counts of the pair walk (roofline probe; reads
     the k_end the kernel writes into idx row 1). (n_blocks,) i32."""
-    _, idx_out = _pair_full(cand, count, rayf, interpret, feat)
-    block = min(rayf.shape[1], RAY_BLOCK)
-    return idx_out[1].reshape(-1, block)[:, 0]
+    _, idx_out = _pair_full(cand, count, rayf, interpret, pair_block,
+                            feat)
+    return idx_out[1].reshape(-1, pair_block)[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _pair_impl(cand, count, rayf, interpret, feat):
-    t_out, idx_out = _pair_full(cand, count, rayf, interpret, feat)
+@functools.partial(jax.jit, static_argnames=("interpret", "pair_block"))
+def _pair_impl(cand, count, rayf, interpret, pair_block, feat):
+    t_out, idx_out = _pair_full(cand, count, rayf, interpret, pair_block,
+                                feat)
     return t_out[0], idx_out[0]
 
 
-def _pair_full(cand, count, rayf, interpret, feat):
+def _pair_full(cand, count, rayf, interpret, pair_block, feat):
     R = rayf.shape[1]
-    block = min(R, RAY_BLOCK)
+    block = min(R, pair_block)
     assert R % block == 0, (R, block)
     grid = (R // block,)
     K = cand.shape[1]
@@ -338,20 +351,20 @@ def _pair_full(cand, count, rayf, interpret, feat):
     return t_out, idx_out
 
 
-# Occupied cells per phase: pairs are re-binned by cell between phases,
-# and per-ray resolution (best hit nearer than the next phase's cell
-# entry) retires rays phase by phase. W trades per-phase pair volume
-# (every per-pair sort/gather and kernel buffer scales with P = R*W,
-# and a resolved ray still pays for the rest of its phase's cells)
-# against the number of phases (per-phase fixed costs). Swept on the
-# 2M-tri scene at the pick_axis optimum (axis=8): W=2 → 368k, 4 →
-# 425k, 6 → 429k, 8 → 402k rays/s.
-PHASE_STEPS = 6
-# Cells covered by the full-R first phase (see stage A in
-# closest_hit_grid). Swept on the 2M-tri scene: a narrower first phase
-# (W0=2 -> 480k, W0=4 -> 528k rays/s) does not beat W0=W=6 (528k) —
-# the saved phase-0 kernel work returns as extra eras.
-FIRST_STEPS = 6
+# Era width (cells walked per straggler era): trades per-era pair
+# volume (sorts/gathers/kernel buffers scale with Rx*We, and a resolved
+# ray still pays for the rest of its era's cells) against era count
+# (per-era fixed costs). Re-swept after the round-4 era redesign
+# (DDA-recompute + two-level ladder made narrow eras cheap) on the
+# 2M-tri scene at axis=8, 3-pass totals: (W0,We) = (6,6) 657ms,
+# (4,4) 569, (3,5) 599-617, (4,6) 647, (2,6) 674, (6,4) 668ms.
+PHASE_STEPS = 4
+# Cells covered by the full-R first phase (stage A in closest_hit_grid).
+# Narrower than r3's 6: at full R every up-front cell is paid by EVERY
+# ray, and >512 pairs/cell re-walk each cell range once per 512-pair
+# block — the cheap era ladder now absorbs the stragglers instead
+# (same sweep as above).
+FIRST_STEPS = 4
 
 
 def closest_hit_grid(geom, o, d, interpret: bool | None = None,
@@ -404,6 +417,7 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     R = o_p.shape[0]
     B = R // block
     S = 3 * axis
+    n_cells = axis ** 3
     We = era_steps if era_steps is not None else phase_steps
     K = max_cand
     grid_lo = jnp.asarray(geom.gr_lo)
@@ -423,7 +437,23 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         """
         Rx, Wx = cellsW.shape
         P = Rx * Wx
-        Bp = P // block
+        # Kernel block width adapts to the expected pairs-per-cell:
+        # when a phase has >512 pairs per occupied cell (dense regime —
+        # stage A, and eras at coarse grids), a 512-pair block walks the
+        # same cell range as its neighbors, re-paying the DMA, the
+        # candidate list, and the loop per block. A 2048-pair block
+        # serves 4x the pairs with ONE DMA + walk (the matmul/epilogue
+        # widen but their per-pair cost is unchanged). In the sparse
+        # regime (pairs/cell < block) wide blocks would instead widen
+        # every OTHER cell's matmul over lanes that don't care, so the
+        # width clamps to the measured-good 512.
+        target_pb = P // max(n_cells, 1)
+        PB = block
+        for pb in _PAIR_BLOCK_LADDER:
+            if target_pb >= pb and P % (8 * pb) == 0:
+                PB = pb
+                break
+        Bp = P // PB
         cell_p = cellsW.reshape(P)  # ray-major pairs
         # THE sort: pairs grouped by cell id. Blocks of 512 consecutive
         # sorted pairs then share a handful of morton-ADJACENT cells,
@@ -448,21 +478,21 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         # first-occurrence lanes). A [min, max) cover would also pull
         # in every table cell morton-between two straddled cells —
         # measured as ~7000-cluster covers on gap-straddling blocks.
-        cell_b = cell_s.reshape(Bp, block)
-        vp_b = vp.reshape(Bp, block)
+        cell_b = cell_s.reshape(Bp, PB)
+        vp_b = vp.reshape(Bp, PB)
         prev = jnp.concatenate(
             [jnp.full((Bp, 1), -2, jnp.int32), cell_b[:, :-1]], axis=1
         )
         first = vp_b & (cell_b != prev)
         seg_len = jnp.where(
-            first, (s_end - s_start).reshape(Bp, block), 0
+            first, (s_end - s_start).reshape(Bp, PB), 0
         )
         cum = jnp.concatenate(
             [jnp.zeros((Bp, 1), jnp.int32), jnp.cumsum(seg_len, axis=1)],
             axis=1,
-        )  # (Bp, block+1)
+        )  # (Bp, PB+1)
         total = cum[:, -1]
-        seg_start = s_start.reshape(Bp, block)
+        seg_start = s_start.reshape(Bp, PB)
 
         # Pair ray features; row 10 carries each pair's ray's current
         # best-t, which is both the kernel's t_best init and its upper
@@ -474,11 +504,18 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         rayf_t = jax.lax.dynamic_update_slice(
             rayf_x, t_best[None, :], (10, 0)
         )
-        rayf_s = rayf_t[:, ray_s]  # (16, P)
+        if _RAYF_ROW_GATHER:
+            # Gather 16-f32 ROWS (the shape the TPU gather unit runs
+            # 20-40x faster than lane gathers, PROFILE.md r3) and pay
+            # two dense transposes instead of a (16, P) lane gather.
+            rayf_s = jnp.transpose(jnp.transpose(rayf_t)[ray_s])
+        else:
+            rayf_s = rayf_t[:, ray_s]  # (16, P)
         t_pair0 = rayf_s[10]
 
         n_rounds = jnp.max(-(-total // jnp.int32(K)))
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Bp, block), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Bp, PB), 1)
+        lane_bits = PB.bit_length() - 1  # lane < PB = 2^lane_bits
 
         def window_positions(r):
             """(cand, cnt) for round r's K positions of each block.
@@ -489,18 +526,20 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
             gathers (take_along on (Bp, K) cost ~21ms each per round).
             Both segment fields ride PACKED monotone max-reduces: cum
             is nondecreasing over lanes and totals are bounded by the
-            cluster count, so (cum<<9 | lane) and (lane<<15 | start)
-            are strictly increasing where defined and fit int32 when
-            C < 2^15 (asserted at build via this static branch).
+            cluster count, so (cum<<lane_bits | lane) and
+            (lane<<15 | start) are strictly increasing where defined
+            and fit int32 when C < 2^15 (asserted at build via this
+            static branch; lane < PB <= 2048 = 2^11, so both packs
+            stay under 2^26).
             """
             pos = r * K + jax.lax.broadcasted_iota(jnp.int32, (Bp, K), 1)
-            cond = cum[:, :block, None] <= pos[:, None, :]
+            cond = cum[:, :PB, None] <= pos[:, None, :]
             if n_clusters < 32768:
-                p1 = (cum[:, :block] << 9) | lane
+                p1 = (cum[:, :PB] << lane_bits) | lane
                 pm1 = jnp.max(
                     jnp.where(cond, p1[:, :, None], -1), axis=1
                 )
-                cum_at = pm1 >> 9
+                cum_at = pm1 >> lane_bits
                 p2 = (lane << 15) | seg_start
                 pm2 = jnp.max(
                     jnp.where(cond, p2[:, :, None], -1), axis=1
@@ -509,7 +548,7 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
             else:
                 j = jnp.clip(
                     jnp.sum(cond.astype(jnp.int32), axis=1) - 1,
-                    0, block - 1,
+                    0, PB - 1,
                 )
                 base = jnp.take_along_axis(seg_start, j, axis=1)
                 cum_at = jnp.take_along_axis(cum, j, axis=1)
@@ -529,7 +568,7 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
                 rayf_s, t_pair[None, :], (10, 0)
             )
             t_new, idx_new = _pair_pallas(
-                cand_r, cnt_r, rayf_r, interpret, feat
+                cand_r, cnt_r, rayf_r, interpret, PB, feat
             )
             improved = t_new < t_pair
             idx_pair = jnp.where(improved, idx_new, idx_pair)

@@ -239,3 +239,40 @@ def test_grid_in_engine_matches_jnp_backend():
     # kernel-backend equivalence tests.
     bad = np.abs(img_g - img_j) > 2e-3 + 2e-3 * np.abs(img_j)
     assert bad.any(-1).mean() < 0.002, bad.any(-1).mean()
+
+
+@pytest.mark.parametrize("w0,we", [(1, 1), (2, 5), (7, 3)])
+def test_grid_width_knobs_never_change_results(mesh_scene, w0, we):
+    """first_steps / era_steps are pure performance knobs (round-4 era
+    ladder: DDA-recompute windows + two-level compaction). Tiny widths
+    force many eras and the second ladder level; results must equal the
+    default-width walk bit-for-bit (same kernel arithmetic, same
+    retirement contract)."""
+    g = mesh_scene.geometry
+    o, d = _random_rays(1024, seed=11)
+    t_0, n_0, m_0 = closest_hit_grid(g, o, d, interpret=True)
+    t_1, n_1, m_1 = closest_hit_grid(g, o, d, interpret=True,
+                                     first_steps=w0, era_steps=we)
+    np.testing.assert_array_equal(np.asarray(t_0), np.asarray(t_1))
+    np.testing.assert_array_equal(np.asarray(m_0), np.asarray(m_1))
+    np.testing.assert_array_equal(np.asarray(n_0), np.asarray(n_1))
+
+
+def test_grid_wide_pair_blocks_match_brute():
+    """Coarse grids put >512 pairs in each cell, engaging the adaptive
+    wide pair-kernel blocks (PB=1024/2048, round-4): one DMA + candidate
+    walk serves the whole block. Exactness must be unchanged."""
+    scene = with_grid(builder.cornell_mesh(), axis=2)  # 8 cells
+    g = scene.geometry
+    o, d = _random_rays(1024, seed=3)
+    t_b, _, m_b = isect.brute(g, o, d)
+    # first_steps=4: P = 4096*4 pairs over 8 cells -> PB=2048;
+    # era width 6 -> era P = 2048*6 -> PB=1024. Both wide paths run.
+    t_g, _, m_g = closest_hit_grid(g, o, d, interpret=True,
+                                   first_steps=4, era_steps=6)
+    t_b, t_g = np.asarray(t_b), np.asarray(t_g)
+    hit = t_b < C.T_FAR * 0.5
+    np.testing.assert_array_equal(hit, t_g < C.T_FAR * 0.5)
+    np.testing.assert_allclose(t_g[hit], t_b[hit], rtol=4e-3, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(m_g)[hit],
+                                  np.asarray(m_b)[hit])
