@@ -86,9 +86,18 @@ from .intersect_stream import ROUND_CAND
 # Sentinel entry distance for invalid DDA steps (finite so compares are
 # well-defined; far above any real t).
 _ENTRY_INF = np.float32(3.0e37)
-# Gather the per-pair ray features as (P, 16) rows + transpose, instead
-# of a (16, P) lane gather (see _phase_core; measured-on-v5e toggle).
-_RAYF_ROW_GATHER = True
+# How per-pair ray features reach the cell-sorted pair order
+# (measured-on-v5e toggle, see _phase_core):
+#   "lane":    (16, P) lane gather (the r3 design)
+#   "row":     (P, 16) row gather + two transposes (row gathers run
+#              20-40x faster than lane gathers on this chip)
+#   "payload": no gather at all — the 16 feature rows ride THE bin
+#              sort as payload operands (pre-sort pair features are a
+#              free broadcast of the per-ray rows)
+# Measured on the v5e 2M-tri scene at (W0=4, We=4), 3-pass totals:
+# row 564ms, lane ~569-601ms, payload 618ms (16 extra sort operands
+# cost more than the row gather they replace). "row" wins.
+_RAYF_MODE = "row"
 # Widths the pair kernel's block may widen to in the dense
 # pairs-per-cell regime (see _phase_core): one DMA + candidate walk
 # then serves 2-4x the pairs. Measured on the v5e 2M-tri scene at
@@ -464,10 +473,25 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         # 2M-element gathers it replaces — ~7ns/element each on this
         # chip); ray id and validity are then pure arithmetic.
         keys = jnp.where(cell_p >= 0, cell_p, jnp.int32(2 ** 30))
-        _, cell_s, pos_s = jax.lax.sort(
-            (keys, cell_p, jnp.arange(P, dtype=jnp.int32)), num_keys=1,
-            is_stable=True,
-        )
+        if _RAYF_MODE == "payload":
+            rayf_t0 = jax.lax.dynamic_update_slice(
+                rayf_x, t_best[None, :], (10, 0)
+            )
+            pre = jnp.broadcast_to(
+                rayf_t0[:, :, None], (16, Rx, Wx)
+            ).reshape(16, P)
+            out = jax.lax.sort(
+                (keys, cell_p, jnp.arange(P, dtype=jnp.int32), *pre),
+                num_keys=1, is_stable=True,
+            )
+            cell_s, pos_s = out[1], out[2]
+            rayf_pairs = jnp.stack(out[3:], axis=0)  # (16, P), sorted
+        else:
+            _, cell_s, pos_s = jax.lax.sort(
+                (keys, cell_p, jnp.arange(P, dtype=jnp.int32)),
+                num_keys=1, is_stable=True,
+            )
+            rayf_pairs = None
         ray_s = pos_s // Wx
         vp = cell_s >= 0
         s_start = cell_start[jnp.maximum(cell_s, 0)]
@@ -501,16 +525,20 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         # t_best into rayf row 10 BEFORE the pair gather folds the
         # per-pair t carry into the same gather (a separate
         # t_best[ray_s] cost 18ms/phase).
-        rayf_t = jax.lax.dynamic_update_slice(
-            rayf_x, t_best[None, :], (10, 0)
-        )
-        if _RAYF_ROW_GATHER:
-            # Gather 16-f32 ROWS (the shape the TPU gather unit runs
-            # 20-40x faster than lane gathers, PROFILE.md r3) and pay
-            # two dense transposes instead of a (16, P) lane gather.
-            rayf_s = jnp.transpose(jnp.transpose(rayf_t)[ray_s])
+        if _RAYF_MODE == "payload":
+            rayf_s = rayf_pairs  # rode the sort; t carry already in row 10
         else:
-            rayf_s = rayf_t[:, ray_s]  # (16, P)
+            rayf_t = jax.lax.dynamic_update_slice(
+                rayf_x, t_best[None, :], (10, 0)
+            )
+            if _RAYF_MODE == "row":
+                # Gather 16-f32 ROWS (the shape the TPU gather unit
+                # runs 20-40x faster than lane gathers, PROFILE.md r3)
+                # and pay two dense transposes instead of a (16, P)
+                # lane gather.
+                rayf_s = jnp.transpose(jnp.transpose(rayf_t)[ray_s])
+            else:
+                rayf_s = rayf_t[:, ray_s]  # (16, P)
         t_pair0 = rayf_s[10]
 
         n_rounds = jnp.max(-(-total // jnp.int32(K)))
