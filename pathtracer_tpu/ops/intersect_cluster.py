@@ -171,8 +171,10 @@ def visit_epilogue(q, t_best, best, base_id, enabled=True):
     )
     # Invalid sentinel STRICTLY above any possible t_best (bit-clearing
     # T_FAR itself would dip just below a t_best == T_FAR init and
-    # report a phantom hit on an all-miss visit).
-    tc = jnp.where(valid, tn / jnp.where(eps_ok, adet, 1.0),
+    # report a phantom hit on an all-miss visit). The max() denominator
+    # guard replaces a select: for valid lanes adet > DET_EPS so the
+    # quotient is bit-identical; invalid lanes are overridden anyway.
+    tc = jnp.where(valid, tn / jnp.maximum(adet, np.float32(1e-30)),
                    2.0 * C.T_FAR)
     row = jax.lax.broadcasted_iota(jnp.int32, (n, RB), 0)
     tenc = (
