@@ -232,7 +232,7 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
         pair's current best-t (upper bound)
     feat_hbm:  (48, C*512) bf16 ANY/HBM — stacked feature table
     t_ref/idx_ref: (8, RB) outputs, row 0 meaningful
-    buf: (2, 48, 512) bf16 VMEM double buffer; sems: (2,) DMA semaphores
+    buf: (4, 48, 512) bf16 VMEM 4-slot pipeline; sems: (4,) DMA semaphores
     """
     RB = rayf_ref.shape[1]
     row = pl.program_id(0) % 8
@@ -240,6 +240,8 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
     rayf48 = stack_rays(rayf)
     t0 = rayf[10:11, :]
     n_cand = count_ref[row, 0]
+
+    K = cand_ref.shape[1]
 
     def dma(slot, k):
         cid = cand_ref[row, k]
@@ -250,9 +252,20 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
             sems.at[slot],
         )
 
+    # Two visits per iteration over a 4-slot DMA pipeline: halves the
+    # per-iteration scalar/branch overhead and keeps two cluster
+    # fetches in flight. The list is walked in full (no early exit),
+    # so every started DMA is waited by its own visit; the odd trailing
+    # visit reads a never-written (stale) buffer slot and is discarded
+    # by the epilogue's `enabled` gate (NaN/garbage-safe: the MT
+    # predicate rejects non-finite rows and `enabled` gates the min).
     @pl.when(n_cand > 0)
     def _():
         dma(0, 0).start()
+
+    @pl.when(n_cand > 1)
+    def _():
+        dma(1, 1).start()
 
     def cond(state):
         k, _, _ = state
@@ -260,17 +273,33 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
 
     def body(state):
         k, t_best, best = state
-        slot = jax.lax.rem(k, 2)
 
-        @pl.when(k + 1 < n_cand)
+        @pl.when(k + 2 < n_cand)
         def _():
-            dma(jax.lax.rem(k + 1, 2), k + 1).start()
+            dma(jax.lax.rem(k + 2, 4), k + 2).start()
 
-        dma(slot, k).wait()
-        q = visit_q(buf[slot], rayf48)
-        cid = cand_ref[row, k]
-        t_best, best = visit_epilogue(q, t_best, best, cid)
-        return k + 1, t_best, best
+        @pl.when(k + 3 < n_cand)
+        def _():
+            dma(jax.lax.rem(k + 3, 4), k + 3).start()
+
+        dma(jax.lax.rem(k, 4), k).wait()
+        q = visit_q(buf[jax.lax.rem(k, 4)], rayf48)
+        t_best, best = visit_epilogue(q, t_best, best,
+                                      cand_ref[row, k])
+        k1 = k + 1
+        ok1 = k1 < n_cand
+
+        @pl.when(ok1)
+        def _():
+            dma(jax.lax.rem(k1, 4), k1).wait()
+
+        kc1 = jnp.minimum(k1, K - 1)
+        q1 = visit_q(buf[jax.lax.rem(k1, 4)], rayf48)
+        t_best, best = visit_epilogue(
+            q1, t_best, best, jnp.maximum(cand_ref[row, kc1], 0),
+            enabled=ok1,
+        )
+        return k + 2, t_best, best
 
     init = (jnp.int32(0), t0, jnp.full((1, RB), -1, jnp.int32))
     k_end, t_best, best = jax.lax.while_loop(cond, body, init)
@@ -352,8 +381,8 @@ def _pair_full(cand, count, rayf, interpret, pair_block, feat):
             jax.ShapeDtypeStruct((8, R), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, FEAT_STACK, CLUSTER_COLS), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, FEAT_STACK, CLUSTER_COLS), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(cand, count.reshape(-1, 1), rayf, feat)

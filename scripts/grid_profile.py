@@ -251,14 +251,25 @@ def main() -> int:
             print("no device events parsed — inspect the trace dir "
                   f"manually: {args.trace_dir}")
             return 0
-        by_class: dict[str, float] = defaultdict(float)
-        for k, v in by_name.items():
-            by_class[classify(k)] += v
-        total = sum(by_class.values())
-        print(f"\ndevice-time breakdown of 3x {name} "
-              f"(total {total/1e3:.1f}ms):")
-        for k, v in sorted(by_class.items(), key=lambda kv: -kv[1]):
-            print(f"  {k:26s} {v/1e3:8.1f}ms {100*v/total:5.1f}%")
+        # Events nest (jit > while > kernel), so the honest split is:
+        # total = the outermost jit event; kernel = sum of _pair_impl
+        # regions (the Pallas pair-kernel calls); glue = the rest.
+        total = max((v for k, v in by_name.items() if "jit" in k),
+                    default=sum(by_name.values()))
+        kernel = sum(v for k, v in by_name.items()
+                     if "_pair_impl" in k or "pair_kernel" in k)
+        sorts = sum(v for k, v in by_name.items()
+                    if "sort" in k.lower() and "jit" not in k)
+        fusions = sum(v for k, v in by_name.items()
+                      if k.startswith("fusion"))
+        print(f"\ndevice-time split of 3x {name} "
+              f"(outermost jit {total/1e3:.1f}ms):")
+        print(f"  pair kernel (_pair_impl) {kernel/1e3:8.1f}ms "
+              f"{100*kernel/total:5.1f}%")
+        print(f"  glue (total - kernel)    "
+              f"{(total-kernel)/1e3:8.1f}ms {100*(total-kernel)/total:5.1f}%")
+        print(f"    of which named fusions {fusions/1e3:8.1f}ms, "
+              f"sorts {sorts/1e3:.1f}ms")
         print("\ntop 15 ops:")
         for k, v in sorted(by_name.items(), key=lambda kv: -kv[1])[:15]:
             print(f"  {v/1e3:8.1f}ms  {k[:90]}")
