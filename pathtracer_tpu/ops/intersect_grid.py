@@ -313,7 +313,10 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _pair_pallas(cand, count, rayf, interpret, pair_block, feat):
     """custom_vjp boundary — same zero-cotangent detach policy as the
-    other traversal kernels (SURVEY.md §3.4/T9)."""
+    other traversal kernels (SURVEY.md §3.4/T9). Returns
+    (t, idx, visits): visits is the call's total attempted kernel
+    visits (from idx row 1) — free roofline accounting, DCE'd when the
+    caller drops it."""
     return _pair_impl(cand, count, rayf, interpret, pair_block, feat)
 
 
@@ -324,6 +327,7 @@ def _pair_fwd(cand, count, rayf, interpret, pair_block, feat):
 
 def _pair_bwd(interpret, pair_block, res, g):
     c_s, n_s, r_s, f_s = res
+    del g  # (t, idx, visits) cotangents — all detached
     return (
         np.zeros(c_s, jax.dtypes.float0),
         np.zeros(n_s, jax.dtypes.float0),
@@ -348,7 +352,9 @@ def pair_visit_counts(cand, count, rayf, interpret, feat,
 def _pair_impl(cand, count, rayf, interpret, pair_block, feat):
     t_out, idx_out = _pair_full(cand, count, rayf, interpret, pair_block,
                                 feat)
-    return t_out[0], idx_out[0]
+    pb = min(rayf.shape[1], pair_block)
+    visits = jnp.sum(idx_out[1].reshape(-1, pb)[:, 0])
+    return t_out[0], idx_out[0], visits
 
 
 def _pair_full(cand, count, rayf, interpret, pair_block, feat):
@@ -461,6 +467,11 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     grid_lo = jnp.asarray(geom.gr_lo)
     grid_cell = jnp.asarray(geom.gr_cell)
     cell_start = jnp.asarray(geom.gr_cell_start)
+    # (start << 15 | len) per cell — the one-gather segment table
+    # (valid iff n_clusters < 2^15; _phase_core guards statically).
+    seg_packed = (
+        (cell_start[:-1] << 15) | (cell_start[1:] - cell_start[:-1])
+    )
     rayf = _ray_features(o_p, d_p, t_cap_p)
     feat = jnp.asarray(geom.cl_feat)
     n_clusters = feat.shape[1] // CLUSTER_COLS
@@ -523,8 +534,17 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
             rayf_pairs = None
         ray_s = pos_s // Wx
         vp = cell_s >= 0
-        s_start = cell_start[jnp.maximum(cell_s, 0)]
-        s_end = cell_start[jnp.maximum(cell_s, 0) + 1]
+        if n_clusters < 32768:
+            # ONE (start << 15 | len) packed gather instead of two
+            # cell_start gathers (each measured ~5.6ms/call at P=1M —
+            # HLO fusion audit r4). Fits i32 iff C < 2^15, the same
+            # static bound as the window packing below.
+            sp = seg_packed[jnp.maximum(cell_s, 0)]
+            s_start = sp >> 15
+            s_len_p = sp & 32767
+        else:
+            s_start = cell_start[jnp.maximum(cell_s, 0)]
+            s_len_p = cell_start[jnp.maximum(cell_s, 0) + 1] - s_start
         # Exact per-block candidate SEGMENTS: the block's candidate
         # list is the concatenation of its DISTINCT cells' cluster
         # ranges (pairs are cell-sorted, so distinct cells are the
@@ -538,7 +558,7 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         )
         first = vp_b & (cell_b != prev)
         seg_len = jnp.where(
-            first, (s_end - s_start).reshape(Bp, PB), 0
+            first, s_len_p.reshape(Bp, PB), 0
         )
         cum = jnp.concatenate(
             [jnp.zeros((Bp, 1), jnp.int32), jnp.cumsum(seg_len, axis=1)],
@@ -615,25 +635,26 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
             return cand, cnt
 
         def round_cond(rstate):
-            r, _, _ = rstate
+            r, _, _, _ = rstate
             return r < n_rounds
 
         def round_body(rstate):
-            r, t_pair, idx_pair = rstate
+            r, t_pair, idx_pair, vis = rstate
             cand_r, cnt_r = window_positions(r)
             rayf_r = jax.lax.dynamic_update_slice(
                 rayf_s, t_pair[None, :], (10, 0)
             )
-            t_new, idx_new = _pair_pallas(
+            t_new, idx_new, v_new = _pair_pallas(
                 cand_r, cnt_r, rayf_r, interpret, PB, feat
             )
             improved = t_new < t_pair
             idx_pair = jnp.where(improved, idx_new, idx_pair)
             t_pair = jnp.minimum(t_new, t_pair)
-            return r + 1, t_pair, idx_pair
+            return r + 1, t_pair, idx_pair, vis + v_new
 
-        rstate0 = (jnp.int32(0), t_pair0, jnp.full((P,), -1, jnp.int32))
-        _, t_row, idx_row = jax.lax.while_loop(
+        rstate0 = (jnp.int32(0), t_pair0, jnp.full((P,), -1, jnp.int32),
+                   jnp.int32(0))
+        _, t_row, idx_row, visits = jax.lax.while_loop(
             round_cond, round_body, rstate0
         )
         # Min-combine pair results back to rays: unsort by sorting on
@@ -646,13 +667,19 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         )
         t_rw = t_back.reshape(Rx, Wx)
         idx_rw = idx_back.reshape(Rx, Wx)
-        jmin = jnp.argmin(t_rw, axis=1)
-        t_from = jnp.take_along_axis(t_rw, jmin[:, None], axis=1)[:, 0]
-        idx_from = jnp.take_along_axis(idx_rw, jmin[:, None], axis=1)[:, 0]
+        # Dense min + tie-match instead of argmin + two take_alongs
+        # (those lowered to ~4ms/call gathers — HLO fusion audit r4).
+        # Ties pick the LARGEST index among equal-t pairs; index
+        # tie-breaks between duplicate finds are unpinned by contract
+        # (duplicates are idempotent under the min).
+        t_from = jnp.min(t_rw, axis=1)
+        idx_from = jnp.max(
+            jnp.where(t_rw == t_from[:, None], idx_rw, -1), axis=1
+        )
         improved_ray = (t_from < t_best) & (idx_from >= 0)
         idx_best = jnp.where(improved_ray, idx_from, idx_best)
         t_best = jnp.where(improved_ray, t_from, t_best)
-        return t_best, idx_best
+        return t_best, idx_best, visits
 
     # ---- stage A: ONE phase at full R (every ray is live anyway) ----
     # Narrower than the era width: the median ray resolves within its
@@ -668,7 +695,8 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     t_best = t_cap_p
     idx_best = jnp.full((R,), -1, jnp.int32)
     cellsW0 = jnp.where(done0[:, None], -1, cells0[:W0].T)
-    t_best, idx_best = _phase_core(cellsW0, rayf, t_best, idx_best)
+    t_best, idx_best, visits_a = _phase_core(cellsW0, rayf, t_best,
+                                             idx_best)
     if L0 > W0:
         next_cell0 = cells0[W0]
         next_entry0 = entry0[W0]
@@ -716,7 +744,7 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
 
     def _make_era_body(Rx):
         def era_body(state):
-            era, done, ptr, t_best, idx_best = state
+            era, done, ptr, t_best, idx_best, vis = state
             sel = jnp.argsort(done, stable=True)[:Rx]
             done_s = done[sel]
             ptr_s = ptr[sel]
@@ -736,8 +764,8 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
             entryW_p = jnp.where(entryW_p < 0, _ENTRY_INF, entryW_p)
             cellsW = jnp.where(done_s[:, None], -1, cellsW_p[:, :We])
             rayf_s = _ray_features(o_s, d_s, tm_s)  # rebuilt, no gather
-            t_s, idx_s = _phase_core(cellsW, rayf_s, t_best[sel],
-                                     idx_best[sel])
+            t_s, idx_s, v_e = _phase_core(cellsW, rayf_s, t_best[sel],
+                                          idx_best[sel])
             next_cell = cellsW_p[:, We]
             next_entry = entryW_p[:, We]
             resolved = t_s <= next_entry * _ENTRY_REL - _ENTRY_ABS
@@ -746,7 +774,7 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
             idx_best = idx_best.at[sel].set(idx_s)
             done = done.at[sel].set(done_s)
             ptr = ptr.at[sel].set(ptr_s + We)
-            return era + 1, done, ptr, t_best, idx_best
+            return era + 1, done, ptr, t_best, idx_best, vis + v_e
 
         return era_body
 
@@ -754,23 +782,23 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     live_floor = R3 if two_level else 0
 
     def era_cond2(state):
-        era, done, _, _, _ = state
+        era, done = state[0], state[1]
         return (era < MAX_E2) & (jnp.sum(~done) > live_floor)
 
-    estate = (jnp.int32(0), done, ptr, t_best, idx_best)
-    era_fin, done, ptr, t_best, idx_best = jax.lax.while_loop(
+    estate = (jnp.int32(0), done, ptr, t_best, idx_best, visits_a)
+    era_fin, done, ptr, t_best, idx_best, visits = jax.lax.while_loop(
         era_cond2, _make_era_body(R2), estate
     )
     if two_level:
         MAX_E3 = 4 * (R // R3) * n_phases_e
 
         def era_cond3(state):
-            era, done, _, _, _ = state
+            era, done = state[0], state[1]
             return (era < MAX_E3) & ~jnp.all(done)
 
-        estate = (jnp.int32(0), done, ptr, t_best, idx_best)
-        era_fin3, done, ptr, t_best, idx_best = jax.lax.while_loop(
-            era_cond3, _make_era_body(R3), estate
+        estate = (jnp.int32(0), done, ptr, t_best, idx_best, visits)
+        era_fin3, done, ptr, t_best, idx_best, visits = (
+            jax.lax.while_loop(era_cond3, _make_era_body(R3), estate)
         )
         era_fin = era_fin + era_fin3
     done_fin = done
@@ -778,14 +806,23 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     t_best = t_fin[:R0]
     slot = idx_fin[:R0]
 
-    hit = slot >= 0
-    best = jnp.where(
-        hit, jnp.asarray(geom.cl_map)[jnp.maximum(slot, 0)], -1
-    )
-    hit = best >= 0  # padding slots never win (det == 0), but be safe
-    safe = jnp.maximum(best, 0)
-    n_best = jnp.where(hit[:, None], jnp.asarray(geom.tri_n)[safe], 0.0)
-    m_best = jnp.where(hit, jnp.asarray(geom.tri_mat)[safe], 0)
+    if geom.gr_slot_nm.shape[0] > 0:
+        # One pre-joined (R, 8) row gather decodes the winner (see
+        # accel/grid.py:with_grid).
+        row_nm = jnp.asarray(geom.gr_slot_nm)[jnp.maximum(slot, 0)]
+        hit = (slot >= 0) & (row_nm[:, 4] > 0.0)
+        n_best = jnp.where(hit[:, None], row_nm[:, 0:3], 0.0)
+        m_best = jnp.where(hit, row_nm[:, 3].astype(jnp.int32), 0)
+    else:
+        hit = slot >= 0
+        best = jnp.where(
+            hit, jnp.asarray(geom.cl_map)[jnp.maximum(slot, 0)], -1
+        )
+        hit = best >= 0  # padding slots never win, but be safe
+        safe = jnp.maximum(best, 0)
+        n_best = jnp.where(hit[:, None],
+                           jnp.asarray(geom.tri_n)[safe], 0.0)
+        m_best = jnp.where(hit, jnp.asarray(geom.tri_mat)[safe], 0)
     t_out = jnp.where(hit, t_best, C.T_FAR)
 
     if geom.sph_c.shape[0] > 0:
@@ -810,6 +847,11 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
             "n_phases": n_phases_e,
             "R_pad": R,
             "R2": R2,
+            # Total attempted pair-kernel visits (stage A + all eras) —
+            # one visit = one 128-triangle cluster DMA + K=48 matmul +
+            # epilogue against a pair block. The grid roofline's
+            # visits/pair and us/visit derive from this.
+            "visits": visits,
         }
         return t_out, n_best, m_best, info
     return t_out, n_best, m_best

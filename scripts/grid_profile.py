@@ -201,7 +201,8 @@ def main() -> int:
         if label:
             print(f"--- {label} ---")
         print(f"{'pass':28s} {'t_call':>9} {'Mrays/s':>8} {'eras':>5} "
-              f"{'liveA':>7} {'unfin':>6}")
+              f"{'liveA':>7} {'unfin':>6} {'visits':>7} {'v/ray':>6} "
+              f"{'us/vis':>7}")
         tot = 0.0
         for name, o, d, tm in passes:
             out = stats_f(o, d, tm)
@@ -215,9 +216,14 @@ def main() -> int:
                 ts.append(time.perf_counter() - t0)
             t_call = min(ts)
             tot += t_call
+            vis = info.get("visits", 0)
+            # us/visit charges the WHOLE call (kernel + glue + ~25ms
+            # tunnel floor) to the visits — an upper bound; the
+            # kernel-only share comes from --trace.
             print(f"{name:28s} {t_call*1e3:8.1f}ms {R/t_call/1e6:8.2f} "
                   f"{info['eras']:5d} {info['live_after_phase0']:7d} "
-                  f"{info['unfinished']:6d}", flush=True)
+                  f"{info['unfinished']:6d} {vis:7d} {vis/R:6.3f} "
+                  f"{t_call*1e6/max(vis,1):7.2f}", flush=True)
         print(f"{'TOTAL (3 passes)':28s} {tot*1e3:8.1f}ms")
         return tot
 
