@@ -401,13 +401,17 @@ def _pair_full(cand, count, rayf, interpret, pair_block, feat):
 # (per-era fixed costs). Re-swept after the round-4 era redesign
 # (DDA-recompute + two-level ladder made narrow eras cheap) on the
 # 2M-tri scene at axis=8, 3-pass totals: (W0,We) = (6,6) 657ms,
-# (4,4) 569, (3,5) 599-617, (4,6) 647, (2,6) 674, (6,4) 668ms.
+# (4,4) 569, (3,5) 599-617, (4,6) 647, (2,6) 674, (6,4) 668ms; after
+# the HLO-audit glue cuts, same-process re-sweep: (3,4) 511, (5,4)
+# 513, (2,4) 536, (4,3) 538ms.
 PHASE_STEPS = 4
 # Cells covered by the full-R first phase (stage A in closest_hit_grid).
 # Narrower than r3's 6: at full R every up-front cell is paid by EVERY
 # ray, and >512 pairs/cell re-walk each cell range once per 512-pair
-# block — the cheap era ladder now absorbs the stragglers instead
-# (same sweep as above).
+# block — the cheap era ladder now absorbs the stragglers instead.
+# Post-glue-cut same-process 3-pass sweep said (3,4) 511 vs (5,4) 513
+# — but at the full-band level W0=4 measured 963k vs W0=3's 947k
+# rays/s (within the +-3-5%% band variance; 4 kept as the default).
 FIRST_STEPS = 4
 
 
