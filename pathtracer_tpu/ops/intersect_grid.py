@@ -411,7 +411,7 @@ PHASE_STEPS = 4
 # block — the cheap era ladder now absorbs the stragglers instead.
 # Post-glue-cut same-process 3-pass sweep said (3,4) 511 vs (5,4) 513
 # — but at the full-band level W0=4 measured 963k vs W0=3's 947k
-# rays/s (within the +-3-5%% band variance; 4 kept as the default).
+# rays/s (within the +-3-5% band variance; 4 kept as the default).
 FIRST_STEPS = 4
 
 
