@@ -192,12 +192,15 @@ def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     baseline_path = os.path.join(here, ".bench_baseline.json")
     vs_baseline = 1.0
-    if os.path.exists(baseline_path):
+    # --grad measures a different quantity (fwd+bwd step rays/s); a
+    # ratio against the FORWARD baseline would read as a regression.
+    if os.path.exists(baseline_path) and not args.grad:
         with open(baseline_path) as f:
             base = json.load(f)
         if base.get("value"):
             vs_baseline = rays_per_s / float(base["value"])
-    elif not args.smoke and not args.no_baseline_write and not args.grad:
+    elif not os.path.exists(baseline_path) and not args.smoke \
+            and not args.no_baseline_write and not args.grad:
         with open(baseline_path, "w") as f:
             json.dump(
                 {"value": rays_per_s, "unit": "rays/s/chip",

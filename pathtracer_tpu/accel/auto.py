@@ -17,10 +17,11 @@ Measured crossover (TPU v5e, bench_metrics.jsonl r3):
   | cornell_mesh | ~5k  | 3.54M   |   —    | 1.39M |
   | big_mesh     | 2M   | (VMEM)  | 21.2k  | 528k  |
 
-The dense cluster kernel wins whenever its table fits VMEM (~<=320
-clusters / ~41k triangles, intersect_cluster.fits_vmem); beyond that
-the grid wins by over an order of magnitude. That boundary IS the
-routing rule — no tuning knob needed between the regimes.
+The dense cluster kernel wins whenever its table fits VMEM (~<=213
+clusters / ~27k triangles with the 48-row stacked-bf16 table at 96
+bytes/column, intersect_cluster.fits_vmem); beyond that the grid wins
+by over an order of magnitude. That boundary IS the routing rule — no
+tuning knob needed between the regimes.
 """
 
 from __future__ import annotations

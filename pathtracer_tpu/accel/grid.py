@@ -216,6 +216,15 @@ def with_grid(scene: Scene, axis: int | None = None) -> Scene:
         g, cl_lo=gs.lo, cl_hi=gs.hi, cl_feat=gs.feat, cl_map=gs.tri_map,
         gr_cell_start=gs.cell_start, gr_lo=gs.grid_lo,
         gr_cell=gs.cell_size, gr_slot_nm=slot_nm,
+        # Super-cluster tables (if any) described the PREVIOUS cluster
+        # decomposition; the grid's cell-chunk clusters have no supers.
+        # Leaving stale su_* behind would feed ray_super_mask a
+        # cl_super sized to the old table (shape mismatch or, worse, a
+        # silently wrong cull) if the dense path ever ran on this
+        # geometry (code-review r4).
+        su_lo=np.zeros((0, 3), np.float32),
+        su_hi=np.zeros((0, 3), np.float32),
+        cl_super=np.zeros((0,), np.int32),
     )
     return dataclasses.replace(scene, geometry=g2)
 

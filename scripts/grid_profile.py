@@ -67,25 +67,6 @@ def parse_trace(logdir: str) -> dict[str, float]:
     return dict(by_name)
 
 
-def classify(name: str) -> str:
-    n = name.lower()
-    if "pair_kernel" in n or "custom-call" in n or "pallas" in n:
-        return "pair kernel (Pallas)"
-    if "sort" in n:
-        return "sorts"
-    if "gather" in n:
-        return "gathers"
-    if "scatter" in n:
-        return "scatters"
-    if "while" in n or "condition" in n or "body" in n:
-        return "while glue"
-    if "fusion" in n:
-        return "fusions (dense glue)"
-    if "copy" in n or "transpose" in n:
-        return "copies/transposes"
-    return "other"
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="big_mesh")

@@ -260,16 +260,21 @@ def test_grid_width_knobs_never_change_results(mesh_scene, w0, we):
 
 def test_grid_wide_pair_blocks_match_brute():
     """Coarse grids put >512 pairs in each cell, engaging the adaptive
-    wide pair-kernel blocks (PB=1024/2048, round-4): one DMA + candidate
-    walk serves the whole block. Exactness must be unchanged."""
+    wide pair-kernel block (PB=1024, the deployed _PAIR_BLOCK_LADDER):
+    one DMA + candidate walk serves the whole block. Exactness must be
+    unchanged. Stage A: P = 4096*4 pairs over 8 cells, target >= 1024
+    and P %% (8*1024) == 0 -> PB=1024; eras: P = 2048*4 = 8192,
+    target 1024, 8192 %% 8192 == 0 -> PB=1024. Both instantiations
+    run wide (asserted below, so a ladder change can't silently
+    devolve this test to 512-wide coverage)."""
     scene = with_grid(builder.cornell_mesh(), axis=2)  # 8 cells
     g = scene.geometry
     o, d = _random_rays(1024, seed=3)
     t_b, _, m_b = isect.brute(g, o, d)
-    # first_steps=4: P = 4096*4 pairs over 8 cells -> PB=2048;
-    # era width 6 -> era P = 2048*6 -> PB=1024. Both wide paths run.
+    from pathtracer_tpu.ops import intersect_grid as ig
+    assert 1024 in ig._PAIR_BLOCK_LADDER
     t_g, _, m_g = closest_hit_grid(g, o, d, interpret=True,
-                                   first_steps=4, era_steps=6)
+                                   first_steps=4, era_steps=4)
     t_b, t_g = np.asarray(t_b), np.asarray(t_g)
     hit = t_b < C.T_FAR * 0.5
     np.testing.assert_array_equal(hit, t_g < C.T_FAR * 0.5)
