@@ -65,19 +65,27 @@ def _intersector(geom, cfg: RenderConfig):
     (accel/clusters.py:with_clusters) and a table that fits VMEM, else it
     falls through to the jnp BVH walk.
     """
-    # All intersectors share the signature hit(g, o, d, t_max=None).
-    # t_max is the shadow-query upper bound: implementations MAY report
-    # hits at t >= t_max[i] as misses (the cluster kernels exploit it to
-    # stop their ordered walk at the light distance — PROFILE.md action
-    # 1); implementations that ignore it are equally correct.
+    # All intersectors share the signature
+    # hit(g, o, d, t_max=None, sparse_hint=False). t_max is the
+    # shadow-query upper bound: implementations MAY report hits at
+    # t >= t_max[i] as misses (the cluster kernels exploit it to stop
+    # their ordered walk at the light distance — PROFILE.md action 1);
+    # implementations that ignore it are equally correct. sparse_hint
+    # is a STATIC occupancy hint (True for late bounces, where most
+    # lanes are dead): the grid path switches to its ladder-only mode
+    # (no full-R stage-A phase — era compaction processes only live
+    # rays); other implementations ignore it.
     if cfg.backend == "grid" and geom.gr_cell_start.shape[0] > 1:
         # Per-ray DDA over the uniform grid (ops/intersect_grid.py) —
         # the round-3 large-scene path: per-ray traversal order and
         # termination, no block-shared candidate lists.
-        from ..ops.intersect_grid import closest_hit_grid
+        from ..ops.intersect_grid import FIRST_STEPS, closest_hit_grid
 
-        def hit(g, o, d, t_max=None):
-            return closest_hit_grid(g, o, d, t_max=t_max)
+        def hit(g, o, d, t_max=None, sparse_hint=False):
+            return closest_hit_grid(
+                g, o, d, t_max=t_max,
+                first_steps=0 if sparse_hint else FIRST_STEPS,
+            )
 
         hit.impl = "grid"
         return hit
@@ -87,7 +95,7 @@ def _intersector(geom, cfg: RenderConfig):
         # auto-route to the grid below, not here.
         from ..ops.intersect_stream import closest_hit_stream
 
-        def hit(g, o, d, t_max=None):
+        def hit(g, o, d, t_max=None, sparse_hint=False):
             return closest_hit_stream(g, o, d, t_max=t_max)
 
         hit.impl = "stream"
@@ -96,7 +104,7 @@ def _intersector(geom, cfg: RenderConfig):
         from ..ops.intersect_cluster import closest_hit_cluster, fits_vmem
 
         if fits_vmem(int(geom.cl_lo.shape[0])):
-            def hit(g, o, d, t_max=None):
+            def hit(g, o, d, t_max=None, sparse_hint=False):
                 return closest_hit_cluster(g, o, d, t_max=t_max)
 
             hit.impl = "cluster"
@@ -106,10 +114,13 @@ def _intersector(geom, cfg: RenderConfig):
             # accel/auto.py route): the per-ray DDA grid is the measured
             # config-5 large-scene path — 25x the streaming kernel on
             # the 2M-triangle scene (PROFILE.md r3).
-            from ..ops.intersect_grid import closest_hit_grid
+            from ..ops.intersect_grid import FIRST_STEPS, closest_hit_grid
 
-            def hit(g, o, d, t_max=None):
-                return closest_hit_grid(g, o, d, t_max=t_max)
+            def hit(g, o, d, t_max=None, sparse_hint=False):
+                return closest_hit_grid(
+                    g, o, d, t_max=t_max,
+                    first_steps=0 if sparse_hint else FIRST_STEPS,
+                )
 
             hit.impl = "grid"
             return hit
@@ -129,7 +140,7 @@ def _intersector(geom, cfg: RenderConfig):
         )
         from ..ops.intersect_stream import closest_hit_stream
 
-        def hit(g, o, d, t_max=None):
+        def hit(g, o, d, t_max=None, sparse_hint=False):
             return closest_hit_stream(g, o, d, t_max=t_max)
 
         hit.impl = "stream"
@@ -139,20 +150,20 @@ def _intersector(geom, cfg: RenderConfig):
         if cfg.backend == "pallas":
             from ..ops.traverse_pallas import closest_hit_pallas
 
-            def hit(g, o, d, t_max=None):
+            def hit(g, o, d, t_max=None, sparse_hint=False):
                 return closest_hit_pallas(g, o, d)
 
             hit.impl = "pallas"
             return hit
         from ..accel.traverse import closest_hit
 
-        def hit(g, o, d, t_max=None):
+        def hit(g, o, d, t_max=None, sparse_hint=False):
             return closest_hit(g, o, d)
 
         hit.impl = "bvh"
         return hit
 
-    def hit(g, o, d, t_max=None):
+    def hit(g, o, d, t_max=None, sparse_hint=False):
         return isect.brute(g, o, d)
 
     hit.impl = "brute"
@@ -256,7 +267,18 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
         o_q = jnp.where(alive[:, None], o, 0.0)
         d_q = jnp.where(alive[:, None], d, jnp.asarray(_CANON_DIR))
         t_cap = jnp.where(alive, C.T_FAR, C.T_MIN)
-        t, n_geom, mat = intersect(geometry, o_q, d_q, t_max=t_cap)
+        # `bounce` is a PYTHON int (the loop is unrolled at trace time):
+        # late bounces have mostly-dead lanes (misses + roulette), so
+        # the grid intersector drops its full-R stage-A phase there and
+        # runs ladder-only compaction (sparse_hint). Measured on the
+        # bench band: sparse from bounce>=2 gave 948.6k vs 963.5k
+        # rays/s without — occupancy at bounce 2 is still too high;
+        # only the roulette-thinned tail (bounce>=3) qualifies:
+        # bounce>=3 measured 992.8k (the kept setting; flipping the
+        # shadow query one bounce earlier measured 974.9k).
+        sparse = bounce >= 3
+        t, n_geom, mat = intersect(geometry, o_q, d_q, t_max=t_cap,
+                                   sparse_hint=sparse)
         # Detach geometry: grads flow only through the shading chain.
         t = jax.lax.stop_gradient(t)
         n_geom = jax.lax.stop_gradient(n_geom)
@@ -325,7 +347,8 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
             o_shq = jnp.where(cand[:, None], o_sh, 0.0)
             wi_q = jnp.where(cand[:, None], wi, jnp.asarray(_CANON_DIR))
             t_sh_cap = jnp.where(cand, dist, C.T_MIN)
-            t_sh, _, _ = intersect(geometry, o_shq, wi_q, t_max=t_sh_cap)
+            t_sh, _, _ = intersect(geometry, o_shq, wi_q,
+                                   t_max=t_sh_cap, sparse_hint=sparse)
             vis = t_sh >= dist * (1.0 - C.SHADOW_REL_EPS)
             geo_term = (
                 cos_s * cos_l * lights.total_area

@@ -691,24 +691,37 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     # by EVERY ray (phase-0 kernel work scales with W0), while the
     # stragglers continue at reduced cost in the eras below. The DDA
     # runs only W0+1 steps here — the +1 row is the retirement probe.
+    #
+    # first_steps == 0 SKIPS stage A entirely (ladder-only mode): for
+    # LOW-OCCUPANCY calls (late bounces/shadows where most lanes are
+    # dead) the full-R phase glue is the dominant cost with near-zero
+    # kernel work, while the era ladder's argsort compaction only ever
+    # processes live rays. The engine selects this statically per
+    # unrolled bounce (engine/wavefront.py).
     W0 = min(first_steps, S)
-    L0 = min(W0 + 1, S)
-    cells0, entry0 = dda_cells(o_p, d_p, t_cap_p, grid_lo, grid_cell,
-                               axis, length=L0)  # (L0, R)
-    done0 = cells0[0] < 0  # no cells at all (missed grid / dead lane)
     t_best = t_cap_p
     idx_best = jnp.full((R,), -1, jnp.int32)
-    cellsW0 = jnp.where(done0[:, None], -1, cells0[:W0].T)
-    t_best, idx_best, visits_a = _phase_core(cellsW0, rayf, t_best,
-                                             idx_best)
-    if L0 > W0:
-        next_cell0 = cells0[W0]
-        next_entry0 = entry0[W0]
-    else:  # W0 covers the whole grid: nothing can remain
-        next_cell0 = jnp.full((R,), -1, jnp.int32)
-        next_entry0 = jnp.full((R,), _ENTRY_INF, jnp.float32)
-    resolved0 = t_best <= next_entry0 * _ENTRY_REL - _ENTRY_ABS
-    done = done0 | (next_cell0 < 0) | resolved0
+    if W0 > 0:
+        L0 = min(W0 + 1, S)
+        cells0, entry0 = dda_cells(o_p, d_p, t_cap_p, grid_lo, grid_cell,
+                                   axis, length=L0)  # (L0, R)
+        done0 = cells0[0] < 0  # no cells (missed grid / dead lane)
+        cellsW0 = jnp.where(done0[:, None], -1, cells0[:W0].T)
+        t_best, idx_best, visits_a = _phase_core(cellsW0, rayf, t_best,
+                                                 idx_best)
+        if L0 > W0:
+            next_cell0 = cells0[W0]
+            next_entry0 = entry0[W0]
+        else:  # W0 covers the whole grid: nothing can remain
+            next_cell0 = jnp.full((R,), -1, jnp.int32)
+            next_entry0 = jnp.full((R,), _ENTRY_INF, jnp.float32)
+        resolved0 = t_best <= next_entry0 * _ENTRY_REL - _ENTRY_ABS
+        done = done0 | (next_cell0 < 0) | resolved0
+    else:
+        cells0, _ = dda_cells(o_p, d_p, t_cap_p, grid_lo, grid_cell,
+                              axis, length=1)
+        done = cells0[0] < 0  # dead lanes / grid misses only
+        visits_a = jnp.int32(0)
     ptr = jnp.full((R,), W0, jnp.int32)
     live_a = jnp.sum(~done)  # stats: stragglers entering the era ladder
 
@@ -740,9 +753,17 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
             Rx += 2048
         return min(Rx, R)
 
-    R2 = _ladder_size(R // 4)
-    R3 = _ladder_size(R // 16)
-    two_level = R3 < R2
+    # Level sizes: with a stage A, stragglers are <= ~40% of R, so the
+    # ladder starts at R/4. In ladder-only mode (W0 == 0) the first
+    # level must swallow the call's full live set in ~1-2 eras, so it
+    # starts at R/2 and decays faster.
+    targets = (R // 4, R // 16) if W0 > 0 else (R // 2, R // 8, R // 32)
+    sizes: list[int] = []
+    for tgt in targets:
+        Rx = _ladder_size(tgt)
+        if not sizes or Rx < sizes[-1]:
+            sizes.append(Rx)
+    R2 = sizes[0]  # stats: first-level size
     probe_iota = jnp.arange(We + 1, dtype=jnp.int32)
     s_iota = jnp.arange(S, dtype=jnp.int32)
 
@@ -782,29 +803,26 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
 
         return era_body
 
-    MAX_E2 = 4 * (R // R2) * n_phases_e
-    live_floor = R3 if two_level else 0
+    era_fin = jnp.int32(0)
+    visits = visits_a
+    for i, Rx in enumerate(sizes):
+        floor = sizes[i + 1] if i + 1 < len(sizes) else 0
+        MAX_E = 4 * (R // Rx) * n_phases_e
 
-    def era_cond2(state):
-        era, done = state[0], state[1]
-        return (era < MAX_E2) & (jnp.sum(~done) > live_floor)
-
-    estate = (jnp.int32(0), done, ptr, t_best, idx_best, visits_a)
-    era_fin, done, ptr, t_best, idx_best, visits = jax.lax.while_loop(
-        era_cond2, _make_era_body(R2), estate
-    )
-    if two_level:
-        MAX_E3 = 4 * (R // R3) * n_phases_e
-
-        def era_cond3(state):
+        def era_cond(state, MAX_E=MAX_E, floor=floor):
             era, done = state[0], state[1]
-            return (era < MAX_E3) & ~jnp.all(done)
+            if floor:
+                # Hand off to the next (smaller) level once the live
+                # set fits it — exactness is level-independent (stable
+                # sort + per-ray pointers, monotone progress).
+                return (era < MAX_E) & (jnp.sum(~done) > floor)
+            return (era < MAX_E) & ~jnp.all(done)
 
         estate = (jnp.int32(0), done, ptr, t_best, idx_best, visits)
-        era_fin3, done, ptr, t_best, idx_best, visits = (
-            jax.lax.while_loop(era_cond3, _make_era_body(R3), estate)
+        era_i, done, ptr, t_best, idx_best, visits = jax.lax.while_loop(
+            era_cond, _make_era_body(Rx), estate
         )
-        era_fin = era_fin + era_fin3
+        era_fin = era_fin + era_i
     done_fin = done
     t_fin, idx_fin = t_best, idx_best
     t_best = t_fin[:R0]

@@ -241,13 +241,14 @@ def test_grid_in_engine_matches_jnp_backend():
     assert bad.any(-1).mean() < 0.002, bad.any(-1).mean()
 
 
-@pytest.mark.parametrize("w0,we", [(1, 1), (2, 5), (7, 3)])
+@pytest.mark.parametrize("w0,we", [(1, 1), (2, 5), (7, 3), (0, 4)])
 def test_grid_width_knobs_never_change_results(mesh_scene, w0, we):
     """first_steps / era_steps are pure performance knobs (round-4 era
-    ladder: DDA-recompute windows + two-level compaction). Tiny widths
-    force many eras and the second ladder level; results must equal the
-    default-width walk bit-for-bit (same kernel arithmetic, same
-    retirement contract)."""
+    ladder: DDA-recompute windows + multi-level compaction). Tiny
+    widths force many eras and the deeper ladder levels; first_steps=0
+    is the ladder-ONLY mode (no full-R stage A — the engine selects it
+    for sparse late bounces). Results must equal the default-width walk
+    bit-for-bit (same kernel arithmetic, same retirement contract)."""
     g = mesh_scene.geometry
     o, d = _random_rays(1024, seed=11)
     t_0, n_0, m_0 = closest_hit_grid(g, o, d, interpret=True)
