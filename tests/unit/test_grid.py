@@ -222,13 +222,17 @@ def test_grid_spheres_merge():
 
 
 def test_grid_in_engine_matches_jnp_backend():
-    """Full engine render with backend='grid' == backend='jnp'."""
+    """Full engine render with backend='grid' == backend='jnp'.
+
+    max_depth=5 so bounces >= 3 run with the engine's sparse_hint
+    (ladder-only grid mode) — the late-bounce fast path is exercised
+    end-to-end, not just by the unit-level width-knob test."""
     from pathtracer_tpu.accel.build import with_bvh
     from pathtracer_tpu.config import RenderConfig
     from pathtracer_tpu.engine import wavefront
 
     scene = with_grid(with_bvh(builder.cornell_mesh()), axis=8)
-    cfg = RenderConfig(width=48, height=48, spp=1, max_depth=2,
+    cfg = RenderConfig(width=48, height=48, spp=1, max_depth=5,
                        scene="cornell_mesh", backend="jnp")
     img_j = np.asarray(wavefront.render(scene, cfg))
     img_g = np.asarray(
