@@ -63,13 +63,62 @@ CLUSTER_COLS = CLUSTER_TRIS * QUANTITIES  # feature columns per cluster
 FEAT_STACK = 3 * FEAT_ROWS
 
 
-def stack_feat(feat32: np.ndarray) -> np.ndarray:
-    """(16, N) f32 feature table -> (48, N) bf16 [hi; hi; lo] stack."""
-    import ml_dtypes
+def _bf16_round_bits(f: np.ndarray) -> np.ndarray:
+    """f32 -> round-to-nearest-even bf16, returned as f32-aligned bits.
 
-    hi = feat32.astype(ml_dtypes.bfloat16)
-    lo = (feat32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return np.concatenate([hi, hi, lo], axis=0)
+    Integer-bit implementation of the standard RN-to-bf16 (add 0x7FFF
+    plus the kept lsb, truncate): numpy's ml_dtypes `.astype` casts run
+    ~50x slower (they cost 12 of the 15s 2M-triangle grid build before
+    this). SIGNED i32 arithmetic deliberately: this numpy build's
+    uint32 ufunc loops are scalar (~19 ns/element vs ~1.3 ns for i32),
+    and two's-complement wraparound makes add/shift/mask bit-identical
+    for all finite inputs. Verified bit-identical to ml_dtypes.
+    """
+    u = np.ascontiguousarray(f, np.float32).view(np.int32)
+    # One temporary, mutated in place: each out-of-place op here
+    # allocates (and page-faults) a 0.5GB array on the 2M-tri table,
+    # which dominated the compound-expression version.
+    # (u >> 16) is an arithmetic shift but `& 1` only keeps bit 0 —
+    # identical to the logical-shift formulation.
+    r = np.right_shift(u, 16)
+    np.bitwise_and(r, np.int32(1), out=r)
+    np.add(r, u, out=r)
+    np.add(r, np.int32(0x7FFF), out=r)
+    np.bitwise_and(r, np.int32(-0x10000), out=r)
+    return r
+
+
+def stack_feat(feat32: np.ndarray) -> np.ndarray:
+    """(16, N) f32 feature table -> (48, N) bf16 [hi; hi; lo] stack.
+
+    Runs on the XLA CPU backend when available: for the 2M-triangle
+    grid table (16 x 8.4M columns) the numpy versions — ml_dtypes
+    `.astype` casts AND an in-place integer-bit RN implementation —
+    both crawl at 10+s under this host's allocator (0.5GB temporaries
+    page-fault at ~300MB/s), while eager XLA does the same split in
+    ~2s. Identical RN-to-bf16 semantics either way (bit-identity of
+    the numpy path is verified in tests/unit/test_cluster.py).
+    """
+    feat32 = np.ascontiguousarray(feat32, np.float32)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            f = jnp.asarray(feat32)
+            hi = f.astype(jnp.bfloat16)
+            lo = (f - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return np.asarray(jnp.concatenate([hi, hi, lo], axis=0))
+    except Exception:
+        import ml_dtypes
+
+        hi_bits = _bf16_round_bits(feat32)
+        hi_f = hi_bits.view(np.float32)
+        lo_bits = _bf16_round_bits(feat32 - hi_f)
+        hi = (hi_bits >> 16).astype(np.uint16).view(ml_dtypes.bfloat16)
+        lo = (lo_bits >> 16).astype(np.uint16).view(ml_dtypes.bfloat16)
+        return np.concatenate([hi, hi, lo], axis=0)
 
 
 def empty_feat() -> np.ndarray:
@@ -133,12 +182,30 @@ def cluster_tables(groups: list[np.ndarray], v0, e1, e2) -> ClusterSet:
     p2 = v0 + e2
     tri_lo = np.minimum(np.minimum(v0, p1), p2)
     tri_hi = np.maximum(np.maximum(v0, p1), p2)
-    clusters = groups
-    C = len(clusters)
+    C = len(groups)
 
-    lo = np.empty((C, 3), np.float32)
-    hi = np.empty((C, 3), np.float32)
-    tri_map = np.full((C * CLUSTER_TRIS,), -1, np.int32)
+    # Padded (C, 128) slot -> triangle-id table (-1 padding), built once;
+    # everything below is vectorized over all slots (the r3 per-cluster
+    # Python loop was the 2M-triangle grid build's hot spot: ~16k
+    # iterations of fancy indexing, ~12 of the 13.8s with_grid time).
+    tri_map = np.full((C, CLUSTER_TRIS), -1, np.int32)
+    lens = np.fromiter((len(g) for g in groups), np.int64, count=C)
+    assert (lens <= CLUSTER_TRIS).all()
+    if C:
+        flat = np.concatenate(groups) if len(groups) else \
+            np.zeros((0,), np.int64)
+        rows = np.repeat(np.arange(C), lens)
+        cols = np.arange(len(flat)) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        tri_map[rows, cols] = flat
+    valid = tri_map >= 0
+    safe = np.maximum(tri_map, 0)
+
+    big = np.float32(3.0e38)
+    lo = np.where(valid[:, :, None], tri_lo[safe], big).min(1)
+    hi = np.where(valid[:, :, None], tri_hi[safe], -big).max(1)
+
     # Per-triangle feature pieces (float64 cross products for accuracy,
     # rounded once at the end).
     v0d, e1d, e2d = v0.astype(np.float64), e1.astype(np.float64), \
@@ -149,30 +216,26 @@ def cluster_tables(groups: list[np.ndarray], v0, e1, e2) -> ClusterSet:
     v_d = -np.cross(v0d, e1d)
     t_c = -(v0d * n).sum(-1)
 
-    feat = np.zeros((FEAT_ROWS, C * CLUSTER_COLS), np.float32)
-    for ci, ids in enumerate(clusters):
-        lo[ci] = tri_lo[ids].min(0)
-        hi[ci] = tri_hi[ids].max(0)
-        k = len(ids)
-        assert k <= CLUSTER_TRIS, k
-        tri_map[ci * CLUSTER_TRIS: ci * CLUSTER_TRIS + k] = ids
-        base = ci * CLUSTER_COLS
-        # det block: rows 0:3 <- e2 x e1
-        feat[0:3, base: base + k] = det_col[ids].T
-        # u block: rows 0:3 <- v0 x e2 ; rows 3:6 <- e2
-        ub = base + CLUSTER_TRIS
-        feat[0:3, ub: ub + k] = u_d[ids].T
-        feat[3:6, ub: ub + k] = e2d[ids].T
-        # v block: rows 0:3 <- -(v0 x e1) ; rows 3:6 <- -e1
-        vb = base + 2 * CLUSTER_TRIS
-        feat[0:3, vb: vb + k] = v_d[ids].T
-        feat[3:6, vb: vb + k] = -e1d[ids].T
-        # t block: rows 6:9 <- e1 x e2 ; row 9 <- -(v0 . n)
-        tb = base + 3 * CLUSTER_TRIS
-        feat[6:9, tb: tb + k] = n[ids].T
-        feat[9, tb: tb + k] = t_c[ids]
-    return ClusterSet(lo=lo, hi=hi, feat=stack_feat(feat),
-                      tri_map=tri_map)
+    # Assemble as (16, C, quantity, 128) then flatten: per cluster the
+    # column layout is [det(128) | u(128) | v(128) | t(128)].
+    feat4 = np.zeros((FEAT_ROWS, C, QUANTITIES, CLUSTER_TRIS), np.float64)
+    vm = valid[None, :, :]  # (1, C, 128)
+
+    def put(rows, q, src):  # src: (T, k) per-triangle rows
+        feat4[rows, :, q, :] = np.where(vm, src[safe].transpose(2, 0, 1),
+                                        0.0)
+
+    put(slice(0, 3), 0, det_col)
+    put(slice(0, 3), 1, u_d)
+    put(slice(3, 6), 1, e2d)
+    put(slice(0, 3), 2, v_d)
+    put(slice(3, 6), 2, -e1d)
+    put(slice(6, 9), 3, n)
+    feat4[9, :, 3, :] = np.where(valid, t_c[safe], 0.0)
+    feat = feat4.reshape(FEAT_ROWS, C * CLUSTER_COLS).astype(np.float32)
+    return ClusterSet(lo=lo.astype(np.float32), hi=hi.astype(np.float32),
+                      feat=stack_feat(feat),
+                      tri_map=tri_map.reshape(-1))
 
 
 def build_clusters(v0, e1, e2, max_tris: int = CLUSTER_TRIS) -> ClusterSet:

@@ -192,3 +192,28 @@ def test_tiled_pixel_ids_bijection():
     # Non-tile-aligned band falls back to arange.
     ids2 = np.asarray(tiled_pixel_ids(jnp.uint32(5), 100, 30))
     np.testing.assert_array_equal(ids2, 5 + np.arange(100))
+
+
+def test_bf16_round_bits_matches_ml_dtypes():
+    """The numpy fallback of stack_feat's RN-to-bf16 must be
+    bit-identical to ml_dtypes (and hence to the XLA path)."""
+    import ml_dtypes
+
+    from pathtracer_tpu.accel.clusters import _bf16_round_bits
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        (rng.normal(size=200_000)
+         * 10.0 ** rng.uniform(-20, 20, 200_000)),
+        [0.0, -0.0, 1e-38, -1e-38, 3.4e38, -3.4e38],
+    ]).astype(np.float32)
+    ref = x.astype(ml_dtypes.bfloat16).view(np.uint16)
+    got = (_bf16_round_bits(x).view(np.uint32) >> 16).astype(np.uint16)
+    np.testing.assert_array_equal(ref, got)
+    # And the lo residual path.
+    hi_f = _bf16_round_bits(x).view(np.float32)
+    lo = x - hi_f
+    ref_lo = lo.astype(ml_dtypes.bfloat16).view(np.uint16)
+    got_lo = (_bf16_round_bits(lo).view(np.uint32) >> 16).astype(
+        np.uint16)
+    np.testing.assert_array_equal(ref_lo, got_lo)
