@@ -106,8 +106,21 @@ def main() -> int:
     dev = jax.devices()[0]
 
     # Band the image so each device program stays short (the remote-TPU
-    # watchdog kills multi-second programs); auto = <=256k pixels/band.
-    bands = args.bands or max(1, cfg.n_pixels // (256 * 1024))
+    # watchdog kills multi-second programs). Auto: small scenes run the
+    # WHOLE frame as one program — measured 7.93M vs 7.07M rays/s on
+    # cornell_mesh at 1 vs 4 bands (inter-band dispatch + fetch is pure
+    # overhead) and a frame is ~0.6s device there; large scenes (frame
+    # seconds of device time) keep <=256k pixels/band for the watchdog.
+    n_tris = int(scene.geometry.tri_v0.shape[0])
+    if args.bands:
+        bands = args.bands
+    elif cfg.n_pixels <= 1024 * 1024 and n_tris <= 100_000 \
+            and not args.grad:
+        # (--grad keeps 256k bands: the one-program fwd+bwd frame
+        # measured SLOWER — 4.81M vs 5.36M grad rays/s on cornell.)
+        bands = 1
+    else:
+        bands = max(1, cfg.n_pixels // (256 * 1024))
     while cfg.n_pixels % bands:
         bands -= 1
     band = cfg.n_pixels // bands
