@@ -302,6 +302,22 @@ def build_supers(cl_lo: np.ndarray, cl_hi: np.ndarray,
     return su_lo, su_hi, cl_super
 
 
+def slot_nm_table(tri_map: np.ndarray, tri_n, tri_mat) -> np.ndarray:
+    """(C*128, 8) pre-joined per-slot [n(3), mat, valid, pad(3)] rows.
+
+    The winner decode of every cluster-table backend then needs ONE
+    well-shaped row gather instead of the cl_map -> tri_n -> tri_mat
+    gather chain (HLO fusion audit, PROFILE.md r4)."""
+    n_slots = len(tri_map)
+    valid = tri_map >= 0
+    safe = np.maximum(tri_map, 0)
+    out = np.zeros((n_slots, 8), np.float32)
+    out[:, 0:3] = np.asarray(tri_n)[safe]
+    out[:, 3] = np.asarray(tri_mat)[safe].astype(np.float32)
+    out[:, 4] = valid.astype(np.float32)
+    return out
+
+
 def with_clusters(scene: Scene, max_tris: int = CLUSTER_TRIS,
                   super_group: int = SUPER_GROUP) -> Scene:
     """Scene with cluster tables attached to its Geometry (non-permuting)."""
@@ -314,6 +330,7 @@ def with_clusters(scene: Scene, max_tris: int = CLUSTER_TRIS,
     g2 = dataclasses.replace(
         g, cl_lo=cs.lo, cl_hi=cs.hi, cl_feat=cs.feat, cl_map=cs.tri_map,
         su_lo=su_lo, su_hi=su_hi, cl_super=cl_super,
+        cl_slot_nm=slot_nm_table(cs.tri_map, g.tri_n, g.tri_mat),
     )
     return dataclasses.replace(scene, geometry=g2)
 

@@ -201,21 +201,13 @@ def with_grid(scene: Scene, axis: int | None = None) -> Scene:
         np.asarray(g.tri_v0), np.asarray(g.tri_e1), np.asarray(g.tri_e2),
         axis,
     )
-    # Pre-join the per-slot winner attributes [n(3), mat, valid, pad]:
-    # the decode then needs ONE (R, 8) row gather instead of the
-    # slot -> cl_map -> tri_n/tri_mat gather chain (~10ms/call on the
-    # v5e at 262k rays — HLO fusion audit, PROFILE.md r4).
-    n_slots = len(gs.tri_map)
-    valid = gs.tri_map >= 0
-    safe = np.maximum(gs.tri_map, 0)
-    slot_nm = np.zeros((n_slots, 8), np.float32)
-    slot_nm[:, 0:3] = np.asarray(g.tri_n)[safe]
-    slot_nm[:, 3] = np.asarray(g.tri_mat)[safe].astype(np.float32)
-    slot_nm[:, 4] = valid.astype(np.float32)
+    from .clusters import slot_nm_table
+
+    slot_nm = slot_nm_table(gs.tri_map, g.tri_n, g.tri_mat)
     g2 = dataclasses.replace(
         g, cl_lo=gs.lo, cl_hi=gs.hi, cl_feat=gs.feat, cl_map=gs.tri_map,
         gr_cell_start=gs.cell_start, gr_lo=gs.grid_lo,
-        gr_cell=gs.cell_size, gr_slot_nm=slot_nm,
+        gr_cell=gs.cell_size, cl_slot_nm=slot_nm,
         # Super-cluster tables (if any) described the PREVIOUS cluster
         # decomposition; the grid's cell-chunk clusters have no supers.
         # Leaving stale su_* behind would feed ray_super_mask a

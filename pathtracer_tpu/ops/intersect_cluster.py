@@ -545,6 +545,33 @@ def cull_candidates(cl_lo, cl_hi, o, d, block: int = RAY_BLOCK,
     return cand, count, tnear, overflow
 
 
+def _decode_winner(geom, slot, t_best):
+    """(t, n, mat) from the winning padded cluster slot per ray.
+
+    Uses the pre-joined (C*128, 8) cl_slot_nm row table when present —
+    ONE well-shaped row gather instead of the cl_map -> tri_n ->
+    tri_mat chain, which measured ~1.9ms per gather per intersect call
+    on the v5e band trace (HLO fusion audit, PROFILE.md r4).
+    """
+    if geom.cl_slot_nm.shape[0] > 0:
+        row_nm = jnp.asarray(geom.cl_slot_nm)[jnp.maximum(slot, 0)]
+        hit = (slot >= 0) & (row_nm[:, 4] > 0.0)
+        n_best = jnp.where(hit[:, None], row_nm[:, 0:3], 0.0)
+        m_best = jnp.where(hit, row_nm[:, 3].astype(jnp.int32), 0)
+    else:
+        hit = slot >= 0
+        best = jnp.where(
+            hit, jnp.asarray(geom.cl_map)[jnp.maximum(slot, 0)], -1
+        )
+        hit = best >= 0  # padding slots never win, but be safe
+        safe = jnp.maximum(best, 0)
+        n_best = jnp.where(hit[:, None],
+                           jnp.asarray(geom.tri_n)[safe], 0.0)
+        m_best = jnp.where(hit, jnp.asarray(geom.tri_mat)[safe], 0)
+    t_out = jnp.where(hit, t_best, C.T_FAR)
+    return t_out, n_best, m_best
+
+
 def _pad_rays(o, d, t_max, block):
     """Pad ray arrays to 8 whole blocks (Mosaic SMEM row windowing)."""
     R0 = o.shape[0]
@@ -654,16 +681,7 @@ def closest_hit_cluster(geom, o, d, interpret: bool | None = None,
                                    visit_group)
     t_best = t_best[:R0]
     slot = slot[:R0]
-
-    hit = slot >= 0
-    best = jnp.where(
-        hit, jnp.asarray(geom.cl_map)[jnp.maximum(slot, 0)], -1
-    )
-    hit = best >= 0  # padding slots never win (det == 0), but be safe
-    safe = jnp.maximum(best, 0)
-    n_best = jnp.where(hit[:, None], jnp.asarray(geom.tri_n)[safe], 0.0)
-    m_best = jnp.where(hit, jnp.asarray(geom.tri_mat)[safe], 0)
-    t_out = jnp.where(hit, t_best, C.T_FAR)
+    t_out, n_best, m_best = _decode_winner(geom, slot, t_best)
 
     if geom.sph_c.shape[0] > 0:
         ts = isect.intersect_spheres(o, d, geom.sph_c, geom.sph_r)

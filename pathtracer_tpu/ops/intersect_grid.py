@@ -75,6 +75,7 @@ from ..accel.clusters import CLUSTER_COLS, FEAT_ROWS, FEAT_STACK
 from ..engine import intersect as isect
 from .intersect_cluster import (
     RAY_BLOCK,
+    _decode_winner,
     _pad_rays,
     _ray_features,
     stack_rays,
@@ -828,24 +829,7 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     t_best = t_fin[:R0]
     slot = idx_fin[:R0]
 
-    if geom.gr_slot_nm.shape[0] > 0:
-        # One pre-joined (R, 8) row gather decodes the winner (see
-        # accel/grid.py:with_grid).
-        row_nm = jnp.asarray(geom.gr_slot_nm)[jnp.maximum(slot, 0)]
-        hit = (slot >= 0) & (row_nm[:, 4] > 0.0)
-        n_best = jnp.where(hit[:, None], row_nm[:, 0:3], 0.0)
-        m_best = jnp.where(hit, row_nm[:, 3].astype(jnp.int32), 0)
-    else:
-        hit = slot >= 0
-        best = jnp.where(
-            hit, jnp.asarray(geom.cl_map)[jnp.maximum(slot, 0)], -1
-        )
-        hit = best >= 0  # padding slots never win, but be safe
-        safe = jnp.maximum(best, 0)
-        n_best = jnp.where(hit[:, None],
-                           jnp.asarray(geom.tri_n)[safe], 0.0)
-        m_best = jnp.where(hit, jnp.asarray(geom.tri_mat)[safe], 0)
-    t_out = jnp.where(hit, t_best, C.T_FAR)
+    t_out, n_best, m_best = _decode_winner(geom, slot, t_best)
 
     if geom.sph_c.shape[0] > 0:
         ts = isect.intersect_spheres(o, d, geom.sph_c, geom.sph_r)

@@ -57,6 +57,7 @@ from ..engine import intersect as isect
 from .intersect_cluster import (
     RAY_BLOCK,
     _block_cluster_intervals,
+    _decode_winner,
     _pad_rays,
     _ray_features,
     exit_bound,
@@ -327,16 +328,7 @@ def closest_hit_stream(geom, o, d, interpret: bool | None = None,
     )
     t_best = t_all[0][:R0]
     slot = idx_all[0][:R0]
-
-    hit = slot >= 0
-    best = jnp.where(
-        hit, jnp.asarray(geom.cl_map)[jnp.maximum(slot, 0)], -1
-    )
-    hit = best >= 0
-    safe = jnp.maximum(best, 0)
-    n_best = jnp.where(hit[:, None], jnp.asarray(geom.tri_n)[safe], 0.0)
-    m_best = jnp.where(hit, jnp.asarray(geom.tri_mat)[safe], 0)
-    t_out = jnp.where(hit, t_best, C.T_FAR)
+    t_out, n_best, m_best = _decode_winner(geom, slot, t_best)
 
     if geom.sph_c.shape[0] > 0:
         ts = isect.intersect_spheres(o, d, geom.sph_c, geom.sph_r)

@@ -109,12 +109,13 @@ class Geometry:
     gr_cell_start: jax.Array  # (AXIS^3 + 1,) i32
     gr_lo: jax.Array  # (3,) f32 grid box min
     gr_cell: jax.Array  # (3,) f32 per-axis cell size
-    # Pre-joined per-SLOT hit attributes for the grid path's winner
-    # decode: row = [n(3), mat, valid, pad(3)] per padded cluster slot.
-    # One well-shaped (R, 8) row gather replaces the cl_map -> tri_n ->
-    # tri_mat gather chain (HLO fusion audit, PROFILE.md r4). Empty =
-    # fall back to the chain.
-    gr_slot_nm: jax.Array  # (C*128, 8) f32
+    # Pre-joined per-SLOT hit attributes for the winner decode of ALL
+    # cluster-table backends (dense/stream/grid): row = [n(3), mat,
+    # valid, pad(3)] per padded cluster slot. One well-shaped (R, 8)
+    # row gather replaces the cl_map -> tri_n -> tri_mat gather chain
+    # (HLO fusion audit, PROFILE.md r4). Empty = fall back to the
+    # chain.
+    cl_slot_nm: jax.Array  # (C*128, 8) f32
 
 
 @_pytree_dataclass
@@ -225,7 +226,7 @@ def make_geometry(
         gr_cell_start=empty1i,
         gr_lo=np.zeros((3,), np.float32),
         gr_cell=np.ones((3,), np.float32),
-        gr_slot_nm=np.zeros((0, 8), np.float32),
+        cl_slot_nm=np.zeros((0, 8), np.float32),
     )
 
 
