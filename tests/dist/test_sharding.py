@@ -160,3 +160,17 @@ def test_sharded_grid_backend_grads(grid_scene):
             np.asarray(g8), np.asarray(g1), rtol=1e-4, atol=1e-7
         )
     assert jnp_abs_sum(grads8.albedo) > 0
+
+
+def test_sharded_grid_deep_sparse_equals_single(grid_scene):
+    """Depth 5 with compaction ON: bounces >= 3 take the engine's
+    sparse_hint (ladder-only grid mode) and every bounce runs the
+    packed-row compaction permutation — both round-4 paths — inside
+    the manual sharding region. Bit-exact vs single device."""
+    cfg = _cfg(scene="cornell_mesh", backend="grid", width=16, height=16,
+               spp=1, max_depth=5, compact=True)
+    single = np.asarray(wavefront.render(grid_scene, cfg))
+    sharded = np.asarray(
+        pmesh.render_sharded(grid_scene, cfg, pmesh.make_mesh())
+    )
+    np.testing.assert_array_equal(single, sharded)
