@@ -178,8 +178,7 @@ def main() -> int:
         bands=bands, cfg=cfg.scene, backend=cfg.backend)
 
     # Time-boxed measurement: cycle bands, time each, stop at budget.
-    total_rays = 0
-    total_secs = 0.0
+    samples = []  # (secs, rays) per band execution
     measured = 0
     # Rotate the starting band between runs so short-budget runs don't
     # oversample band 0 (VERDICT r2 weak 7): all bands share one compiled
@@ -191,16 +190,27 @@ def main() -> int:
         t0 = time.perf_counter()
         _, n = run(*sargs, jnp.uint32(b * band))
         n = int(n)  # host fetch = the only reliable completion barrier
-        total_secs += time.perf_counter() - t0
-        total_rays += n
+        samples.append((time.perf_counter() - t0, n))
         measured += 1
         if measured >= 10_000:
             break
 
+    # Steady-state throughput with STALL rejection: the shared axon
+    # tunnel occasionally freezes a dispatch for tens of seconds
+    # (observed: a 60s-budget run whose 52 otherwise-0.55s bands summed
+    # to 140s). Bands slower than 10x the median are infrastructure
+    # stalls, not render time; they are excluded and DISCLOSED (count
+    # printed + logged) rather than silently averaged in.
+    med = sorted(s for s, _ in samples)[len(samples) // 2]
+    kept = [(s, n) for s, n in samples if s <= 10.0 * med]
+    stalled = len(samples) - len(kept)
+    total_secs = sum(s for s, _ in kept)
+    total_rays = sum(n for _, n in kept)
     rays_per_s = total_rays / max(total_secs, 1e-12)
     frames = measured / bands
     log("bench measured", bands=measured, frames=round(frames, 2),
-        secs=round(total_secs, 1), rays=total_rays)
+        secs=round(total_secs, 1), rays=total_rays,
+        stall_bands_excluded=stalled)
 
     here = os.path.dirname(os.path.abspath(__file__))
     baseline_path = os.path.join(here, ".bench_baseline.json")
@@ -235,6 +245,7 @@ def main() -> int:
             device=str(dev.device_kind),
             measured_bands=measured,
             frames=round(frames, 3),
+            stall_bands_excluded=stalled,
         )
 
     print(json.dumps({
