@@ -8,7 +8,10 @@ chip on the Cornell-mesh scene at 1spp 1024x1024 (4-bounce path with NEE
 shadow rays; ray count measured exactly by the instrumented engine, dead
 lanes excluded). The upstream reference publishes no numbers
 ("published": {}, BASELINE.json:13), so vs_baseline compares against this
-repo's own recorded round-1 number (.bench_baseline.json).
+repo's own recorded naive-jnp-backend number for the SAME task under the
+SAME measurement methodology (.bench_baseline.json schema 2, recorded
+via --record-baseline; the ratio is null when no matching baseline
+exists — never a cross-scene or cross-methodology number, ADVICE r4).
 
 The measurement is TIME-BOXED (--budget seconds, default 60): the image is
 rendered in bands, each band is timed individually, and bands are cycled
@@ -65,7 +68,14 @@ def main() -> int:
                     "then counts forward rays per wall-second of the "
                     "full fwd+bwd step (BASELINE.json:5 'forward+"
                     "backward kernels').")
-    ap.add_argument("--no-baseline-write", action="store_true")
+    ap.add_argument("--record-baseline", action="store_true",
+                    help="record this run's value as the stored baseline "
+                    "for its TASK (scene/size/spp/depth/grad) under the "
+                    "current measurement methodology. Deliberate-only: "
+                    "vs_baseline ratios are refused unless a same-task, "
+                    "same-methodology baseline exists (ADVICE r4).")
+    ap.add_argument("--no-baseline-write", action="store_true",
+                    help="(compat) never write the baseline file")
     args = ap.parse_args()
 
     import jax
@@ -115,9 +125,14 @@ def main() -> int:
     if args.bands:
         bands = args.bands
     elif cfg.n_pixels <= 1024 * 1024 and n_tris <= 100_000 \
-            and not args.grad:
+            and not args.grad and cfg.spp == 1 and cfg.max_depth <= 4 \
+            and cfg.backend in ("cluster", "stream", "grid"):
         # (--grad keeps 256k bands: the one-program fwd+bwd frame
-        # measured SLOWER — 4.81M vs 5.36M grad rays/s on cornell.)
+        # measured SLOWER — 4.81M vs 5.36M grad rays/s on cornell.
+        # The spp/depth/backend gates (ADVICE r4): a --depth/--spp
+        # override above the bench defaults, or a slow jnp/pallas
+        # backend, makes the whole-frame program multi-second and the
+        # remote watchdog can kill it mid-benchmark.)
         bands = 1
     else:
         bands = max(1, cfg.n_pixels // (256 * 1024))
@@ -214,21 +229,42 @@ def main() -> int:
 
     here = os.path.dirname(os.path.abspath(__file__))
     baseline_path = os.path.join(here, ".bench_baseline.json")
-    vs_baseline = 1.0
-    # --grad measures a different quantity (fwd+bwd step rays/s); a
-    # ratio against the FORWARD baseline would read as a regression.
-    if os.path.exists(baseline_path) and not args.grad:
+    # Baselines are per-TASK (scene/size/spp/depth/grad — NOT backend:
+    # the ratio means "this repo's fast path vs its own naive jnp
+    # implementation of the same rendering task") and stamped with the
+    # measurement METHODOLOGY; a ratio is only printed when both match
+    # (ADVICE r4 medium: the r1 baseline predates stall rejection and
+    # auto-banding, and VERDICT r4 weak 6: dividing a big_mesh run by
+    # the cornell baseline printed a meaningless 28.5). Record a
+    # baseline deliberately with --record-baseline.
+    methodology = {"stall_reject": "10x_median", "banding": "auto-v2"}
+    task = (f"{cfg.scene} {cfg.width}x{cfg.height} {cfg.spp}spp "
+            f"depth{cfg.max_depth}" + (" grad" if args.grad else ""))
+    store = {"schema": 2, "methodology": methodology, "tasks": {}}
+    if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            base = json.load(f)
-        if base.get("value"):
-            vs_baseline = rays_per_s / float(base["value"])
-    elif not os.path.exists(baseline_path) and not args.smoke \
-            and not args.no_baseline_write and not args.grad:
+            old = json.load(f)
+        if old.get("schema") == 2:
+            store = old
+        else:
+            # Legacy schema-1 file (single value, pre-stall-rejection
+            # banded methodology): keep it for the record, but its
+            # stamp never matches — re-measure with --record-baseline.
+            store["legacy_r1"] = old
+    vs_baseline = None
+    base = store["tasks"].get(task)
+    if base is not None and store.get("methodology") == methodology \
+            and base.get("value"):
+        vs_baseline = round(rays_per_s / float(base["value"]), 4)
+    if args.record_baseline and not args.smoke \
+            and not args.no_baseline_write:
+        store["methodology"] = methodology
+        store["tasks"][task] = {
+            "value": rays_per_s, "unit": "rays/s/chip",
+            "device": str(dev), "cfg": cfg.to_json(),
+        }
         with open(baseline_path, "w") as f:
-            json.dump(
-                {"value": rays_per_s, "unit": "rays/s/chip",
-                 "device": str(dev), "cfg": cfg.to_json()}, f,
-            )
+            json.dump(store, f, indent=1)
 
     # SURVEY.md §5.5 metrics schema row (appended, one per run).
     if not args.smoke:
@@ -257,7 +293,9 @@ def main() -> int:
         ),
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
-        "vs_baseline": round(vs_baseline, 4),
+        # null when no same-task, same-methodology baseline is stored
+        # (see above) — never a cross-scene or cross-methodology ratio.
+        "vs_baseline": vs_baseline,
     }))
     return 0
 

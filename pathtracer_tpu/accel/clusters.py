@@ -311,9 +311,18 @@ def slot_nm_table(tri_map: np.ndarray, tri_n, tri_mat) -> np.ndarray:
     n_slots = len(tri_map)
     valid = tri_map >= 0
     safe = np.maximum(tri_map, 0)
+    tri_mat = np.asarray(tri_mat)
+    # The material id round-trips through f32 (exact only below 2^24);
+    # guard at build time so table growth can never corrupt silently
+    # (ADVICE r4).
+    assert tri_mat.size == 0 or int(tri_mat.max()) < 2 ** 24, (
+        "material ids >= 2^24 are not exactly representable in the f32 "
+        "slot table; shrink the material table or extend slot_nm_table "
+        "to an int32-bitcast column"
+    )
     out = np.zeros((n_slots, 8), np.float32)
     out[:, 0:3] = np.asarray(tri_n)[safe]
-    out[:, 3] = np.asarray(tri_mat)[safe].astype(np.float32)
+    out[:, 3] = tri_mat[safe].astype(np.float32)
     out[:, 4] = valid.astype(np.float32)
     return out
 

@@ -105,9 +105,10 @@ PRESETS: dict[str, RenderConfig] = {
         use_bvh=False,
     ),
     # 5. Multi-host: 2M-triangle scene, tiles+rays sharded, grads allreduced.
-    # backend="grid" is the round-3 per-ray DDA path
-    # (ops/intersect_grid.py): 120k rays/s/chip measured vs 58k for the
-    # block-list streaming kernel and 21k for round-2 (bench_metrics).
+    # backend="grid" is the per-ray DDA path (ops/intersect_grid.py):
+    # ~1.04M rays/s/chip on the v5e at round 4 vs 21.2k for the
+    # HBM-streaming kernel — ~50x (BASELINE.md / bench_metrics.jsonl;
+    # numbers move every round, BASELINE.md is the source of truth).
     "config5": RenderConfig(
         width=1024, height=1024, spp=1, max_depth=4, scene="big_mesh",
         use_bvh=True, spp_chunk=1, backend="grid",

@@ -75,20 +75,34 @@ def _intersector(geom, cfg: RenderConfig):
     # lanes are dead): the grid path switches to its ladder-only mode
     # (no full-R stage-A phase — era compaction processes only live
     # rays); other implementations ignore it.
-    if cfg.backend == "grid" and geom.gr_cell_start.shape[0] > 1:
-        # Per-ray DDA over the uniform grid (ops/intersect_grid.py) —
-        # the round-3 large-scene path: per-ray traversal order and
-        # termination, no block-shared candidate lists.
-        from ..ops.intersect_grid import FIRST_STEPS, closest_hit_grid
+    if cfg.backend == "grid":
+        if geom.gr_cell_start.shape[0] > 1:
+            # Per-ray DDA over the uniform grid (ops/intersect_grid.py) —
+            # the round-3 large-scene path: per-ray traversal order and
+            # termination, no block-shared candidate lists.
+            from ..ops.intersect_grid import FIRST_STEPS, closest_hit_grid
 
-        def hit(g, o, d, t_max=None, sparse_hint=False):
-            return closest_hit_grid(
-                g, o, d, t_max=t_max,
-                first_steps=0 if sparse_hint else FIRST_STEPS,
-            )
+            def hit(g, o, d, t_max=None, sparse_hint=False):
+                return closest_hit_grid(
+                    g, o, d, t_max=t_max,
+                    first_steps=0 if sparse_hint else FIRST_STEPS,
+                )
 
-        hit.impl = "grid"
-        return hit
+            hit.impl = "grid"
+            return hit
+        # backend="grid" requested but no grid tables on the Geometry:
+        # silently landing on the BVH walk / brute force would be a
+        # large unexplained slowdown (VERDICT r4 weak 4 — mirror the
+        # loudly-warned cluster->stream fallback below).
+        import warnings
+
+        warnings.warn(
+            'backend="grid" but the Geometry has no grid tables; falling '
+            "through to the BVH/brute path (orders of magnitude slower "
+            "on large scenes). Build the scene with "
+            "accel.auto.prepare_accel or accel.grid.with_grid first.",
+            stacklevel=2,
+        )
     if cfg.backend == "stream" and geom.cl_lo.shape[0] > 0:
         # Explicit selection of the HBM-streaming kernel (benchmarking /
         # exactness cross-checks); large scenes at backend="cluster"

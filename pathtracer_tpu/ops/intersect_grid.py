@@ -257,9 +257,8 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
     # per-iteration scalar/branch overhead and keeps two cluster
     # fetches in flight. The list is walked in full (no early exit),
     # so every started DMA is waited by its own visit; the odd trailing
-    # visit reads a never-written (stale) buffer slot and is discarded
-    # by the epilogue's `enabled` gate (NaN/garbage-safe: the MT
-    # predicate rejects non-finite rows and `enabled` gates the min).
+    # visit re-reads visit k's already-waited slot (see body) and its
+    # result is discarded by the epilogue's `enabled` gate.
     @pl.when(n_cand > 0)
     def _():
         dma(0, 0).start()
@@ -295,7 +294,13 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
             dma(jax.lax.rem(k1, 4), k1).wait()
 
         kc1 = jnp.minimum(k1, K - 1)
-        q1 = visit_q(buf[jax.lax.rem(k1, 4)], rayf48)
+        # Disabled trailing visit (odd n_cand): re-read the slot visit k
+        # just waited on instead of slot k1, which may never have been
+        # DMA-written — the kernel then never consumes uninitialized
+        # VMEM, so correctness no longer rests on the epilogue's
+        # `enabled` gate alone (ADVICE r4).
+        slot1 = jnp.where(ok1, jax.lax.rem(k1, 4), jax.lax.rem(k, 4))
+        q1 = visit_q(buf[slot1], rayf48)
         t_best, best = visit_epilogue(
             q1, t_best, best, jnp.maximum(cand_ref[row, kc1], 0),
             enabled=ok1,

@@ -160,6 +160,22 @@ def main() -> int:
               f"bad-pixel frac {frac_g:.4f}")
         ok &= bool(frac_g < 0.005)
 
+        # Packed-row compaction BIT-exactness on the real compiler: the
+        # (N, 16) row-gather compaction bitcasts int columns
+        # (pixel_ids/slot) through f32 denormal bit patterns and relies
+        # on XLA gather/concat/slice never canonicalizing them — true
+        # today but not documented, so this check must stay in the
+        # hardware suite permanently (ADVICE r4). Any flushed denormal
+        # would scramble pixel routing and fail the array_equal.
+        cfg_c = PRESETS["config2"].replace(
+            width=64, height=64, max_depth=4, backend="cluster")
+        img_nc = np.asarray(wavefront.render(scene, cfg_c))
+        img_cc = np.asarray(
+            wavefront.render(scene, cfg_c.replace(compact=True)))
+        bit_eq = bool((img_nc == img_cc).all())
+        print(f"[7] compact=True == compact=False bit-exact: {bit_eq}")
+        ok &= bit_eq
+
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

