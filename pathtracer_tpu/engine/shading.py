@@ -68,16 +68,37 @@ def sample_light(lights, geom, u_sel, u1, u2):
     Returns (x_l, n_l, mat_l). Caller must only use this when the scene
     has a non-empty light table (static shape check at trace time).
     """
-    cdf = lights.cdf
+    su = jnp.sqrt(u1)
+    rows = gather_light_rows(light_rows(lights, geom), lights.cdf, u_sel)
+    x_l = rows[:, 0:3] + (1.0 - su)[:, None] * rows[:, 3:6] \
+        + (u2 * su)[:, None] * rows[:, 6:9]
+    return x_l, rows[:, 9:12], rows[:, 12].astype(jnp.int32)
+
+
+def light_rows(lights, geom):
+    """(L, 16) pre-joined light-triangle rows [v0, e1, e2, n, mat, pad].
+
+    The r4 winner-decode lesson applied to NEE: gathering v0/e1/e2/n/mat
+    as five narrow per-array gathers measured ~7.5ms per bounce on the
+    1M-ray cornell band (fusion.36/.23/.10/.49, band_profile r5) where
+    ONE well-shaped 16-f32 row gather is ~20x cheaper. The join itself
+    is (L,)-sized, traced once per program and CSE'd across bounces.
+    The material id round-trips through f32 — exact below 2^24
+    (guarded at scene build, accel/clusters.py:slot_nm_table).
+    """
+    lt = lights.tri_idx
+    L = lt.shape[0]
+    return jnp.concatenate([
+        geom.tri_v0[lt], geom.tri_e1[lt], geom.tri_e2[lt],
+        geom.tri_n[lt],
+        geom.tri_mat[lt].astype(jnp.float32)[:, None],
+        jnp.zeros((L, 3), jnp.float32),
+    ], axis=1)
+
+
+def gather_light_rows(rows, cdf, u_sel):
+    """(N, 16) sampled light rows: CDF inversion + one row gather."""
     idx = jnp.minimum(
         jnp.searchsorted(cdf, u_sel, side="right"), cdf.shape[0] - 1
     )
-    tri = lights.tri_idx[idx]
-    v0 = geom.tri_v0[tri]
-    e1 = geom.tri_e1[tri]
-    e2 = geom.tri_e2[tri]
-    su = jnp.sqrt(u1)
-    b1 = 1.0 - su
-    b2 = u2 * su
-    x_l = v0 + b1[:, None] * e1 + b2[:, None] * e2
-    return x_l, geom.tri_n[tri], geom.tri_mat[tri]
+    return rows[idx]

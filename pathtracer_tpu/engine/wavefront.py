@@ -237,6 +237,28 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
     intersect = _intersector(geometry, cfg)
     albedo = materials.albedo
     emission = materials.emission
+    # Pre-joined per-material rows [albedo(3), emission(3), mat_type,
+    # ior, pad(8)]: the winner-decode trick applied to the shading
+    # tables — one 16-f32 row gather per bounce instead of five narrow
+    # per-array gathers (each ~2ms/bounce on the 1M-ray band,
+    # band_profile r5). Differentiable: albedo/emission flow through
+    # the concat, whose transpose is an exact slice.
+    M = albedo.shape[0]
+    mt_tab = jnp.asarray(geometry.mat_type, jnp.float32)
+    ior_tab = jnp.asarray(geometry.mat_ior, jnp.float32)
+    # The structural tables are sized by the ids geometry references;
+    # Materials may carry more (or fewer) rows — align to M with the
+    # make_geometry defaults (MAT_DIFF, ior 1.5). Static shapes only.
+    if mt_tab.shape[0] < M:
+        mt_tab = jnp.concatenate([
+            mt_tab, jnp.zeros((M - mt_tab.shape[0],), jnp.float32)])
+    if ior_tab.shape[0] < M:
+        ior_tab = jnp.concatenate([
+            ior_tab, jnp.full((M - ior_tab.shape[0],), 1.5, jnp.float32)])
+    mat_rows = jnp.concatenate([
+        albedo, emission, mt_tab[:M, None], ior_tab[:M, None],
+        jnp.zeros((M, 8), jnp.float32),
+    ], axis=1)
     bg = lights.background
     n_lights = lights.tri_idx.shape[0]
     N = pixel_ids.shape[0]
@@ -293,6 +315,10 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
         t = jax.lax.stop_gradient(t)
         n_geom = jax.lax.stop_gradient(n_geom)
         hit = t < C.T_FAR
+        # One material-row gather serves albedo/emission/type/ior below.
+        mrow = mat_rows[mat]
+        alb_m = mrow[:, 0:3]
+        emis_m = mrow[:, 3:6]
 
         miss = alive & ~hit
         radiance = radiance + jnp.where(
@@ -320,18 +346,18 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
             prim = alive & hit & (cos_in > 0.0)
             radiance = radiance + jnp.where(
                 prim[:, None],
-                throughput * emission[mat] * w_emit[:, None], 0.0,
+                throughput * emis_m * w_emit[:, None], 0.0,
             )
         else:
             prim = alive & hit & (cos_in > 0.0) & spec_chain
             radiance = radiance + jnp.where(
-                prim[:, None], throughput * emission[mat], 0.0
+                prim[:, None], throughput * emis_m, 0.0
             )
 
         alive = alive & hit
         p = o + t[:, None] * d
         n_shade = n_geom * jnp.where(cos_in > 0.0, 1.0, -1.0)[:, None]
-        mt = geometry.mat_type[mat]
+        mt = mrow[:, 6].astype(jnp.int32)
         is_diff = mt == C.MAT_DIFF
         is_refr = mt == C.MAT_REFR
 
@@ -377,8 +403,8 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
                 geo_term = geo_term * w_nee
             contrib = (
                 throughput
-                * (albedo[mat] / jnp.pi)
-                * emission[mat_l]
+                * (alb_m / jnp.pi)
+                * mat_rows[mat_l][:, 3:6]
                 * jax.lax.stop_gradient(geo_term)[:, None]
             )
             radiance = radiance + jnp.where(
@@ -401,7 +427,7 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
         )
         d_refl = reflect(d, n_shade, cos_o)
         entering = cos_in > 0.0
-        ior = geometry.mat_ior[mat]
+        ior = mrow[:, 7]
         eta = jnp.where(entering, 1.0 / ior, ior)
         d_refr, tir = refract_dir(d, n_shade, cos_o, eta)
         cos_x = jnp.where(entering, cos_o, jnp.sum(d_refr * n_geom, -1))
@@ -415,7 +441,7 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
             d_diff,
             jnp.where(is_refr[:, None], d_glass, d_refl),
         )
-        throughput = throughput * albedo[mat]
+        throughput = throughput * alb_m
         off = jnp.where(transmit, -C.RAY_OFFSET, C.RAY_OFFSET)
         o = p + n_shade * off[:, None]
         d = new_d
@@ -472,8 +498,19 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
             prev_pdf = state[:, 15]
 
     if cfg.compact and cfg.max_depth > 1:
-        # Unscramble back to the caller's ray order (exact permutation).
-        radiance = jnp.zeros_like(radiance).at[slot].set(radiance)
+        # Unscramble back to the caller's ray order: `slot` is a
+        # permutation of arange(N), so sorting by it with the radiance
+        # columns as sort payloads is EXACTLY the inverse permutation —
+        # same rows, same bits, pure data movement. Measured on the
+        # 1M-ray cornell band: the scatter formulation this replaces
+        # was the single largest engine-tail fusion at 42ms/band
+        # (band_profile r5); payload operands ride a lax.sort at ~the
+        # cost of the bare key sort (PROFILE.md r3 toolchain findings).
+        _, r0, r1, r2 = jax.lax.sort(
+            (slot, radiance[:, 0], radiance[:, 1], radiance[:, 2]),
+            num_keys=1,
+        )
+        radiance = jnp.stack([r0, r1, r2], axis=1)
 
     if with_stats:
         return radiance, n_rays

@@ -464,6 +464,56 @@ def _block_cluster_intervals(cl_lo, cl_hi, o, d, block):
     return tnear_lo, tfar_hi
 
 
+# Per-ray line cull at CLUSTER granularity is affordable up to this
+# many clusters ((R, C) dense slab tests); beyond it the super-cluster
+# mask (ray_super_mask) provides the same effect at ~C/32 granularity.
+# The VMEM routing bound (~213 clusters, fits_vmem) keeps every dense-
+# kernel scene under this, so in practice the cluster path always uses
+# the exact mask.
+RAY_CULL_MAX_C = 512
+
+
+def ray_cluster_mask(cl_lo, cl_hi, o, d, t_max, block: int = RAY_BLOCK):
+    """(B, C) per-ray line cull at CLUSTER granularity.
+
+    The round-5 visit-reduction lever (VERDICT r5 item 1): the bounce
+    pass walked ~25 clusters/block where a per-ray walk needs ~6 —
+    the per-BLOCK interval cone over 512 hemisphere-scattered bounce
+    rays covers most of a small scene, and the super mask is useless
+    there (cornell has 2 supers). This mask slab-tests every RAY
+    against every CLUSTER box (dense (R, C) — affordable for
+    VMEM-resident scenes, <= ~213 clusters) within the ray's own
+    [T_MIN, t_max], and cluster c survives for block b iff SOME ray in
+    b crosses it: the block list shrinks to the exact union of its
+    rays' line needs.
+
+    Sound: a hit at t < t_max lies on the ray's line inside the
+    cluster box, so the (inflated — same fp-conservatism policy as
+    build_supers) slab test keeps that cluster; dropping never loses a
+    hit. The hit set — and the rendered image — is bit-unchanged.
+    """
+    R = o.shape[0]
+    B = R // block
+    tiny = 1e-20
+    dd = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
+    inv = 1.0 / dd
+    pad = 1e-6 * jnp.maximum(jnp.abs(cl_lo), jnp.abs(cl_hi)) + 1e-7
+    lo = cl_lo - pad
+    hi = cl_hi + pad
+    # Per-axis accumulation keeps the largest live intermediate at
+    # (R, C) instead of (R, C, 3).
+    t_in = jnp.full((R, cl_lo.shape[0]), -jnp.inf, jnp.float32)
+    t_out = jnp.full((R, cl_lo.shape[0]), jnp.inf, jnp.float32)
+    for ax in range(3):
+        t0 = (lo[None, :, ax] - o[:, ax:ax + 1]) * inv[:, ax:ax + 1]
+        t1 = (hi[None, :, ax] - o[:, ax:ax + 1]) * inv[:, ax:ax + 1]
+        t_in = jnp.maximum(t_in, jnp.minimum(t0, t1))
+        t_out = jnp.minimum(t_out, jnp.maximum(t0, t1))
+    tm = jnp.asarray(t_max, jnp.float32)[:, None]
+    crossed = (t_out >= jnp.maximum(t_in, C.T_MIN)) & (t_in <= tm)
+    return crossed.reshape(B, block, -1).any(axis=1)  # (B, C)
+
+
 def ray_super_mask(su_lo, su_hi, cl_super, o, d, t_max,
                    block: int = RAY_BLOCK):
     """(B, C) per-ray line-union cull at super-cluster granularity.
@@ -654,10 +704,16 @@ def closest_hit_cluster(geom, o, d, interpret: bool | None = None,
     rayf = _ray_features(o_p, d_p, t_max_p)
     B = o_p.shape[0] // block
     if use_cull:
-        # Per-ray line cull at super granularity (see ray_super_mask) —
-        # only meaningful when there are >= 2 supers to discriminate.
+        # Per-ray line cull: exact cluster granularity when the scene
+        # is small enough for the dense (R, C) test (every VMEM-routed
+        # scene is — see RAY_CULL_MAX_C), else super granularity.
         extra = None
-        if geom.su_lo.shape[0] > 1:
+        if 1 < n_clusters <= RAY_CULL_MAX_C:
+            extra = ray_cluster_mask(
+                jnp.asarray(geom.cl_lo), jnp.asarray(geom.cl_hi),
+                o_p, d_p, t_max_p, block,
+            )
+        elif geom.su_lo.shape[0] > 1:
             extra = ray_super_mask(
                 jnp.asarray(geom.su_lo), jnp.asarray(geom.su_hi),
                 jnp.asarray(geom.cl_super), o_p, d_p, t_max_p, block,

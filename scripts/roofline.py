@@ -52,12 +52,14 @@ def main() -> int:
     from pathtracer_tpu.engine.wavefront import _coherence_key
     from pathtracer_tpu.ops.intersect_cluster import (
         RAY_BLOCK,
+        RAY_CULL_MAX_C,
         _pad_rays,
         _ray_features,
         closest_hit_cluster,
         cluster_visit_counts,
         cull_candidates,
         exit_bound,
+        ray_cluster_mask,
         ray_super_mask,
     )
     from pathtracer_tpu.sampling import rng as rng_mod
@@ -127,7 +129,10 @@ def main() -> int:
         tm_eff = t_exit if tm_p is None else jnp.minimum(
             jnp.asarray(tm_p, jnp.float32), t_exit)
         extra = None
-        if g.su_lo.shape[0] > 1:
+        if 1 < n_clusters <= RAY_CULL_MAX_C:
+            extra = ray_cluster_mask(g.cl_lo, g.cl_hi, o_p, d_p,
+                                     tm_eff, RAY_BLOCK)
+        elif g.su_lo.shape[0] > 1:
             extra = ray_super_mask(g.su_lo, g.su_hi, g.cl_super, o_p,
                                    d_p, tm_eff, RAY_BLOCK)
         cand, count, tnear, _ = cull_candidates(
