@@ -107,11 +107,41 @@ _RAYF_MODE = "row"
 # its saved DMA/loop overhead, 1024 is the sweet spot. Exactness at all
 # widths is pinned by tests/unit/test_grid.py (wide-pair-blocks).
 _PAIR_BLOCK_LADDER: tuple[int, ...] = (1024,)
+# Visits per while-iteration of the pair kernel and DMA pipeline depth
+# (2*group): grouping divides the serial per-iteration scalar/branch
+# cost (the dense kernel's VISIT_GROUP lesson, PROFILE.md r4).
+_PAIR_GROUP = 4
+_PAIR_SLOTS = 2 * _PAIR_GROUP
 # Conservative margin on entry-distance keys: computed cell entries can
 # exceed the true entry by fp rounding; shrinking them can only ADD
 # work, never skip a reachable hit.
 _ENTRY_REL = 1.0 - 1e-4
 _ENTRY_ABS = 1e-6
+# Occupied-cell windowing (round 5): the DDA skips EMPTY cells — cells
+# whose cluster range is zero-length contain no triangles, so no hit
+# can lie in them and walking them is pure glue. The occupancy lookup
+# inside the scan is a GATHER-FREE dense compare-select over packed
+# 32-cell bitmask words; its cost scales with n_cells/32 per step, so
+# it is gated to grids up to this many words (axis <= 16 at 128;
+# axis=32 grids fall back to the walk-every-cell windows).
+_OCC_MAX_WORDS = 128
+
+
+def pack_occupancy(cell_start):
+    """(n_cells+1,) cluster-range starts -> (ceil(n/32),) i32 bitmask.
+
+    Bit c%32 of word c//32 is 1 iff cell c has a non-empty cluster
+    range. Two's-complement bit 31 makes some words negative — bit ops
+    ((w >> b) & 1 with arithmetic shift) still read every bit exactly.
+    """
+    occ = (cell_start[1:] > cell_start[:-1]).astype(jnp.int32)
+    n = occ.shape[0]
+    pad = (-n) % 32
+    if pad:
+        occ = jnp.concatenate([occ, jnp.zeros((pad,), jnp.int32)])
+    w = occ.reshape(-1, 32)
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    return jnp.sum(w << shifts[None, :], axis=1)
 
 
 def grid_axis(geom) -> int:
@@ -132,7 +162,7 @@ def _morton3(ix, iy, iz, bits: int):
 
 
 def dda_cells(o, d, t_max, grid_lo, cell, axis: int,
-              length: int | None = None):
+              length: int | None = None, occ_words=None):
     """Lockstep 3D-DDA: each ray's cells front-to-back, all rays at once.
 
     Returns (cells, entry), both (S, R) with S = 3*axis (or `length`
@@ -143,11 +173,23 @@ def dda_cells(o, d, t_max, grid_lo, cell, axis: int,
       entry: f32 distance at which the ray ENTERS that cell
              (_ENTRY_INF for invalid steps; nondecreasing along S)
 
+    With `occ_words` (a pack_occupancy bitmask) the call ALSO returns
+    `oidx` (S, R) i32: the index of step s's cell among the ray's
+    OCCUPIED cells, or -1 for invalid/empty-cell steps. Callers window
+    on oidx instead of the step index, so phases cover the next W
+    occupied cells and empty cells cost nothing but the scan step that
+    enumerates them (round-5 redesign: shadow/primary rays crossing
+    open space previously paid a full era ladder of empty-cell pair
+    glue — 174k shadow stragglers producing 8.8k kernel visits). The
+    occupancy lookup is a dense (R, n_words) compare-select per step —
+    gather-free, same cost class as the morton interleave.
+
     A ray contributes cells only while entry < t_max; rays with
     t_max <= 2*T_MIN (dead-lane canonicalization) contribute none.
-    Per-ray outputs are pure elementwise arithmetic in (o, d, t_max) —
-    bitwise identical for a ray regardless of which batch it appears
-    in, which is what makes recompute == materialize.
+    Per-ray outputs are pure elementwise arithmetic in (o, d, t_max)
+    (and the static occupancy table) — bitwise identical for a ray
+    regardless of which batch it appears in, which is what makes
+    recompute == materialize.
     """
     S = 3 * axis if length is None else length
     bits = max(1, int(axis - 1).bit_length())
@@ -183,11 +225,25 @@ def dda_cells(o, d, t_max, grid_lo, cell, axis: int,
     t_next = (grid_lo[None, :] + nxt.astype(jnp.float32) * cell[None, :]
               - o) * inv  # (R, 3)
 
+    if occ_words is not None:
+        w_iota = jnp.arange(occ_words.shape[0], dtype=jnp.int32)
+
     def step_fn(carry, _):
-        c, t_next, alive, t_cur = carry
+        c, t_next, alive, t_cur, occ_cnt = carry
         m = _morton3(c[:, 0], c[:, 1], c[:, 2], bits)
         cell_out = jnp.where(alive, m, -1)
         entry_out = jnp.where(alive, t_cur, _ENTRY_INF)
+        if occ_words is not None:
+            word = jnp.sum(
+                jnp.where((m >> 5)[:, None] == w_iota[None, :],
+                          occ_words[None, :], 0),
+                axis=1,
+            )
+            is_occ = alive & (((word >> (m & 31)) & 1) == 1)
+            oidx_out = jnp.where(is_occ, occ_cnt, -1)
+            occ_cnt = occ_cnt + is_occ.astype(jnp.int32)
+        else:
+            oidx_out = jnp.zeros_like(m)
         # Advance to the nearest axis boundary.
         t_step = jnp.min(t_next, -1)  # (R,)
         is_min = t_next <= t_step[:, None]
@@ -200,15 +256,19 @@ def dda_cells(o, d, t_max, grid_lo, cell, axis: int,
         t_next = t_next + dt * adv.astype(jnp.float32)
         out = ((c < 0) | (c >= axis)).any(-1)
         alive = alive & ~out & (t_step < tm)
-        return (c, t_next, alive, t_step), (cell_out, entry_out)
+        return ((c, t_next, alive, t_step, occ_cnt),
+                (cell_out, entry_out, oidx_out))
 
     # lax.scan, not a Python loop: S is up to 3*32 = 96 steps, and the
     # renderer traces 8 intersect calls per band — an unrolled DDA put
     # ~25k extra ops into the HLO graph and sent the server-side XLA
     # compile into the tens of minutes (observed on the axon tunnel).
-    _, (cells, entry) = jax.lax.scan(
-        step_fn, (c, t_next, alive, t_en), None, length=S
+    occ0 = jnp.zeros((o.shape[0],), jnp.int32)
+    _, (cells, entry, oidx) = jax.lax.scan(
+        step_fn, (c, t_next, alive, t_en, occ0), None, length=S
     )
+    if occ_words is not None:
+        return cells, entry, oidx  # (S, R) each
     return cells, entry  # (S, R)
 
 
@@ -233,7 +293,7 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
         pair's current best-t (upper bound)
     feat_hbm:  (48, C*512) bf16 ANY/HBM — stacked feature table
     t_ref/idx_ref: (8, RB) outputs, row 0 meaningful
-    buf: (4, 48, 512) bf16 VMEM 4-slot pipeline; sems: (4,) DMA semaphores
+    buf: (_PAIR_SLOTS, 48, 512) bf16 VMEM pipeline; sems: DMA semaphores
     """
     RB = rayf_ref.shape[1]
     row = pl.program_id(0) % 8
@@ -243,6 +303,8 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
     n_cand = count_ref[row, 0]
 
     K = cand_ref.shape[1]
+    NS = _PAIR_SLOTS
+    G = _PAIR_GROUP
 
     def dma(slot, k):
         cid = cand_ref[row, k]
@@ -253,19 +315,19 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
             sems.at[slot],
         )
 
-    # Two visits per iteration over a 4-slot DMA pipeline: halves the
-    # per-iteration scalar/branch overhead and keeps two cluster
-    # fetches in flight. The list is walked in full (no early exit),
-    # so every started DMA is waited by its own visit; the odd trailing
-    # visit re-reads visit k's already-waited slot (see body) and its
-    # result is discarded by the epilogue's `enabled` gate.
-    @pl.when(n_cand > 0)
-    def _():
-        dma(0, 0).start()
-
-    @pl.when(n_cand > 1)
-    def _():
-        dma(1, 1).start()
+    # G visits per iteration over a 2G-slot DMA pipeline: divides the
+    # per-iteration scalar/branch overhead by G and keeps G cluster
+    # fetches in flight (the dense kernel's VISIT_GROUP win applied
+    # here; G=4 measured best on the v5e bounce pass, same as there).
+    # The list is walked in full (no early exit), so every started DMA
+    # is waited by its own visit; trailing visits past n_cand re-read
+    # the last already-waited slot (never uninitialized VMEM, ADVICE
+    # r4) and their results are discarded by the epilogue's `enabled`
+    # gate.
+    for g0 in range(G):
+        @pl.when(n_cand > g0)
+        def _(g0=g0):
+            dma(g0, g0).start()
 
     def cond(state):
         k, _, _ = state
@@ -273,39 +335,33 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
 
     def body(state):
         k, t_best, best = state
+        for g in range(G, 2 * G):
+            @pl.when(k + g < n_cand)
+            def _(g=g):
+                dma(jax.lax.rem(k + g, NS), k + g).start()
 
-        @pl.when(k + 2 < n_cand)
-        def _():
-            dma(jax.lax.rem(k + 2, 4), k + 2).start()
-
-        @pl.when(k + 3 < n_cand)
-        def _():
-            dma(jax.lax.rem(k + 3, 4), k + 3).start()
-
-        dma(jax.lax.rem(k, 4), k).wait()
-        q = visit_q(buf[jax.lax.rem(k, 4)], rayf48)
+        dma(jax.lax.rem(k, NS), k).wait()
+        q = visit_q(buf[jax.lax.rem(k, NS)], rayf48)
         t_best, best = visit_epilogue(q, t_best, best,
                                       cand_ref[row, k])
-        k1 = k + 1
-        ok1 = k1 < n_cand
+        slot_prev = jax.lax.rem(k, NS)
+        for g in range(1, G):
+            kg = k + g
+            okg = kg < n_cand
 
-        @pl.when(ok1)
-        def _():
-            dma(jax.lax.rem(k1, 4), k1).wait()
+            @pl.when(okg)
+            def _(kg=kg):
+                dma(jax.lax.rem(kg, NS), kg).wait()
 
-        kc1 = jnp.minimum(k1, K - 1)
-        # Disabled trailing visit (odd n_cand): re-read the slot visit k
-        # just waited on instead of slot k1, which may never have been
-        # DMA-written — the kernel then never consumes uninitialized
-        # VMEM, so correctness no longer rests on the epilogue's
-        # `enabled` gate alone (ADVICE r4).
-        slot1 = jnp.where(ok1, jax.lax.rem(k1, 4), jax.lax.rem(k, 4))
-        q1 = visit_q(buf[slot1], rayf48)
-        t_best, best = visit_epilogue(
-            q1, t_best, best, jnp.maximum(cand_ref[row, kc1], 0),
-            enabled=ok1,
-        )
-        return k + 2, t_best, best
+            kcg = jnp.minimum(kg, K - 1)
+            slot_g = jnp.where(okg, jax.lax.rem(kg, NS), slot_prev)
+            qg = visit_q(buf[slot_g], rayf48)
+            t_best, best = visit_epilogue(
+                qg, t_best, best, jnp.maximum(cand_ref[row, kcg], 0),
+                enabled=okg,
+            )
+            slot_prev = slot_g
+        return k + G, t_best, best
 
     init = (jnp.int32(0), t0, jnp.full((1, RB), -1, jnp.int32))
     k_end, t_best, best = jax.lax.while_loop(cond, body, init)
@@ -393,8 +449,9 @@ def _pair_full(cand, count, rayf, interpret, pair_block, feat):
             jax.ShapeDtypeStruct((8, R), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, FEAT_STACK, CLUSTER_COLS), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((_PAIR_SLOTS, FEAT_STACK, CLUSTER_COLS),
+                       jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((_PAIR_SLOTS,)),
         ],
         interpret=interpret,
     )(cand, count.reshape(-1, 1), rayf, feat)
@@ -426,6 +483,8 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
                      phase_steps: int = PHASE_STEPS,
                      first_steps: int = FIRST_STEPS,
                      era_steps: int | None = None,
+                     ladder: tuple[int, ...] | None = None,
+                     occupied_windows: bool | None = None,
                      stats: bool = False):
     """Drop-in closest hit via phased per-ray DDA + the stream kernel.
 
@@ -591,11 +650,30 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
                 rayf_x, t_best[None, :], (10, 0)
             )
             if _RAYF_MODE == "row":
-                # Gather 16-f32 ROWS (the shape the TPU gather unit
-                # runs 20-40x faster than lane gathers, PROFILE.md r3)
-                # and pay two dense transposes instead of a (16, P)
-                # lane gather.
-                rayf_s = jnp.transpose(jnp.transpose(rayf_t)[ray_s])
+                # Gather ROWS (the shape the TPU gather unit runs
+                # 20-40x faster than lane gathers, PROFILE.md r3) and
+                # pay dense transposes instead of a (16, P) lane
+                # gather. Only the 7 underived rows ride the gather —
+                # [d(3), o(3), t-carry] padded to an 8-f32 row — and
+                # o x d is recomputed per pair (bitwise the same
+                # jnp.cross as _ray_features on identical o, d values);
+                # rows 9/11-15 are constants. Halves the gather bytes
+                # of the 16-row form (the stage-A rayf row gather was
+                # the largest single glue fusion, ~10ms/call at P=1M —
+                # PROFILE.md r4 handoff).
+                g8 = jnp.concatenate([
+                    rayf_t[0:3], rayf_t[6:9], rayf_t[10:11],
+                    jnp.zeros((1, Rx), jnp.float32),
+                ], axis=0)  # (8, Rx)
+                g8_s = jnp.transpose(jnp.transpose(g8)[ray_s])  # (8, P)
+                d_s3 = g8_s[0:3]
+                o_s3 = g8_s[3:6]
+                oxd_s = jnp.cross(o_s3, d_s3, axis=0)  # (3, P)
+                rayf_s = jnp.concatenate([
+                    d_s3, oxd_s, o_s3,
+                    jnp.ones((1, P), jnp.float32), g8_s[6:7],
+                    jnp.zeros((FEAT_ROWS - 11, P), jnp.float32),
+                ], axis=0)  # (16, P)
             else:
                 rayf_s = rayf_t[:, ray_s]  # (16, P)
         t_pair0 = rayf_s[10]
@@ -691,12 +769,49 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
         t_best = jnp.where(improved_ray, t_from, t_best)
         return t_best, idx_best, visits
 
+    # Occupied-cell windowing (round 5): phases cover the next W
+    # OCCUPIED cells. Empty cells cannot contain a hit (their cluster
+    # range is empty — grid.py duplicates every triangle into every
+    # overlapped cell), so skipping them preserves the coverage
+    # argument verbatim while collapsing the era ladder for rays that
+    # cross open space (unoccluded shadow rays previously walked every
+    # cell to the light through pure pair glue). `ptr` below counts
+    # occupied cells, and the retirement probe compares against the
+    # next OCCUPIED cell's entry — a larger bound, so retirement can
+    # only happen earlier (and it is sound for the same reason).
+    # Static auto-gate: occupied windows pay when a meaningful share of
+    # cells is empty; on DENSE grids (big_mesh at axis=8 is 97%
+    # occupied) they are pure overhead — the stage-A DDA grows from
+    # W0+1 to all S steps and every step pays the occupancy select,
+    # with no eras saved (measured: 3-pass 546 vs 522ms). Occupancy is
+    # data (can't be read at trace time), so the gate keys on the
+    # static shape ratio clusters/cell: coarse grids (>= 8, the
+    # pick_axis regime for dense scenes) skip the machinery; fine/open
+    # grids enable it. `occupied_windows` overrides either way.
+    n_words = -(-n_cells // 32)
+    if occupied_windows is None:
+        occupied_windows = n_clusters < 8 * n_cells
+    ow = (pack_occupancy(cell_start)
+          if occupied_windows and n_words <= _OCC_MAX_WORDS else None)
+
+    def _window(cellsS, entryS, oidxS, ptr_x, width):
+        """Select each ray's occupied cells [ptr, ptr+width) from a
+        full-S DDA — (cellsW, entryW), -1/_ENTRY_INF past the end."""
+        cols = ptr_x[:, None] + jnp.arange(width, dtype=jnp.int32)[None]
+        cmp = oidxS.T[:, :, None] == cols[:, None, :]
+        cw = jnp.maximum(jnp.max(
+            jnp.where(cmp, cellsS.T[:, :, None], -2), axis=1), -1)
+        ew = jnp.max(jnp.where(cmp, entryS.T[:, :, None], -1.0), axis=1)
+        return cw, jnp.where(ew < 0, _ENTRY_INF, ew)
+
     # ---- stage A: ONE phase at full R (every ray is live anyway) ----
     # Narrower than the era width: the median ray resolves within its
-    # first 2-3 cells, and at full R every extra up-front cell is paid
-    # by EVERY ray (phase-0 kernel work scales with W0), while the
-    # stragglers continue at reduced cost in the eras below. The DDA
-    # runs only W0+1 steps here — the +1 row is the retirement probe.
+    # first 2-3 occupied cells, and at full R every extra up-front cell
+    # is paid by EVERY ray (phase-0 kernel work scales with W0), while
+    # the stragglers continue at reduced cost in the eras below. The
+    # window select needs the full-S DDA here (the W0-th occupied cell
+    # can sit at any step), but the scan is gather-free elementwise
+    # arithmetic — a few ms at full R.
     #
     # first_steps == 0 SKIPS stage A entirely (ladder-only mode): for
     # LOW-OCCUPANCY calls (late bounces/shadows where most lanes are
@@ -708,25 +823,40 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     t_best = t_cap_p
     idx_best = jnp.full((R,), -1, jnp.int32)
     if W0 > 0:
-        L0 = min(W0 + 1, S)
-        cells0, entry0 = dda_cells(o_p, d_p, t_cap_p, grid_lo, grid_cell,
-                                   axis, length=L0)  # (L0, R)
-        done0 = cells0[0] < 0  # no cells (missed grid / dead lane)
-        cellsW0 = jnp.where(done0[:, None], -1, cells0[:W0].T)
+        if ow is not None:
+            cells0, entry0, oidx0 = dda_cells(
+                o_p, d_p, t_cap_p, grid_lo, grid_cell, axis,
+                occ_words=ow)  # (S, R)
+            cellsA, entryA = _window(
+                cells0, entry0, oidx0,
+                jnp.zeros((R,), jnp.int32), W0 + 1)
+            done0 = cellsA[:, 0] < 0  # no occupied cell at all
+            cellsW0 = jnp.where(done0[:, None], -1, cellsA[:, :W0])
+            next_cell0 = cellsA[:, W0]
+            next_entry0 = entryA[:, W0]
+        else:
+            L0 = min(W0 + 1, S)
+            cells0, entry0 = dda_cells(o_p, d_p, t_cap_p, grid_lo,
+                                       grid_cell, axis, length=L0)
+            done0 = cells0[0] < 0  # no cells (missed grid / dead lane)
+            cellsW0 = jnp.where(done0[:, None], -1, cells0[:W0].T)
+            if L0 > W0:
+                next_cell0 = cells0[W0]
+                next_entry0 = entry0[W0]
+            else:  # W0 covers the whole grid: nothing can remain
+                next_cell0 = jnp.full((R,), -1, jnp.int32)
+                next_entry0 = jnp.full((R,), _ENTRY_INF, jnp.float32)
         t_best, idx_best, visits_a = _phase_core(cellsW0, rayf, t_best,
                                                  idx_best)
-        if L0 > W0:
-            next_cell0 = cells0[W0]
-            next_entry0 = entry0[W0]
-        else:  # W0 covers the whole grid: nothing can remain
-            next_cell0 = jnp.full((R,), -1, jnp.int32)
-            next_entry0 = jnp.full((R,), _ENTRY_INF, jnp.float32)
         resolved0 = t_best <= next_entry0 * _ENTRY_REL - _ENTRY_ABS
         done = done0 | (next_cell0 < 0) | resolved0
     else:
         cells0, _ = dda_cells(o_p, d_p, t_cap_p, grid_lo, grid_cell,
                               axis, length=1)
-        done = cells0[0] < 0  # dead lanes / grid misses only
+        # Dead lanes / grid misses only; rays whose path holds zero
+        # OCCUPIED cells retire after their first era (window select
+        # yields -1 everywhere).
+        done = cells0[0] < 0
         visits_a = jnp.int32(0)
     ptr = jnp.full((R,), W0, jnp.int32)
     live_a = jnp.sum(~done)  # stats: stragglers entering the era ladder
@@ -762,8 +892,15 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     # Level sizes: with a stage A, stragglers are <= ~40% of R, so the
     # ladder starts at R/4. In ladder-only mode (W0 == 0) the first
     # level must swallow the call's full live set in ~1-2 eras, so it
-    # starts at R/2 and decays faster.
-    targets = (R // 4, R // 16) if W0 > 0 else (R // 2, R // 8, R // 32)
+    # starts at R/2 and decays faster. `ladder` (static divisor tuple,
+    # e.g. (2, 8)) overrides the level sizes — a perf-only knob (the
+    # era loop is exact at any capacity; stable sort + per-ray
+    # pointers make progress monotone).
+    if ladder is not None:
+        targets = tuple(R // div for div in ladder)
+    else:
+        targets = (R // 4, R // 16) if W0 > 0 else (R // 2, R // 8,
+                                                    R // 32)
     sizes: list[int] = []
     for tgt in targets:
         Rx = _ladder_size(tgt)
@@ -782,17 +919,27 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
             o_s = o_p[sel]
             d_s = d_p[sel]
             tm_s = t_cap_p[sel]
-            cells_e, entry_e = dda_cells(o_s, d_s, tm_s, grid_lo,
-                                         grid_cell, axis)  # (S, Rx)
-            # Arithmetic window select: exactly one step matches each
-            # (ray, w) column (or none, past the grid = exhausted).
-            cols = ptr_s[:, None] + probe_iota[None, :]  # (Rx, We+1)
-            cmp = s_iota[None, :, None] == cols[:, None, :]
-            cellsW_p = jnp.maximum(jnp.max(
-                jnp.where(cmp, cells_e.T[:, :, None], -2), axis=1), -1)
-            entryW_p = jnp.max(
-                jnp.where(cmp, entry_e.T[:, :, None], -1.0), axis=1)
-            entryW_p = jnp.where(entryW_p < 0, _ENTRY_INF, entryW_p)
+            # Arithmetic window select over the recomputed DDA: with
+            # occupancy, each (ray, w) column matches the (ptr+w)-th
+            # OCCUPIED step (or none — exhausted / all-empty tail);
+            # without, the plain step index.
+            if ow is not None:
+                cells_e, entry_e, oidx_e = dda_cells(
+                    o_s, d_s, tm_s, grid_lo, grid_cell, axis,
+                    occ_words=ow)  # (S, Rx)
+                cellsW_p, entryW_p = _window(cells_e, entry_e, oidx_e,
+                                             ptr_s, We + 1)
+            else:
+                cells_e, entry_e = dda_cells(o_s, d_s, tm_s, grid_lo,
+                                             grid_cell, axis)  # (S, Rx)
+                cols = ptr_s[:, None] + probe_iota[None, :]  # (Rx, We+1)
+                cmp = s_iota[None, :, None] == cols[:, None, :]
+                cellsW_p = jnp.maximum(jnp.max(
+                    jnp.where(cmp, cells_e.T[:, :, None], -2), axis=1),
+                    -1)
+                entryW_p = jnp.max(
+                    jnp.where(cmp, entry_e.T[:, :, None], -1.0), axis=1)
+                entryW_p = jnp.where(entryW_p < 0, _ENTRY_INF, entryW_p)
             cellsW = jnp.where(done_s[:, None], -1, cellsW_p[:, :We])
             rayf_s = _ray_features(o_s, d_s, tm_s)  # rebuilt, no gather
             t_s, idx_s, v_e = _phase_core(cellsW, rayf_s, t_best[sel],

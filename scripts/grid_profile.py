@@ -209,15 +209,20 @@ def main() -> int:
         return tot
 
     if args.sweep:
+        # Combo syntax: "W0,We" or "W0,We,l1-l2[-l3]" (ladder divisors).
         results = {}
         for combo in args.sweep.split(";"):
-            w0, we = (int(x) for x in combo.split(","))
+            parts = combo.split(",")
+            w0, we = int(parts[0]), int(parts[1])
             kw2 = dict(kw, first_steps=w0, era_steps=we)
+            label = f"W0={w0} We={we}"
+            if len(parts) > 2:
+                kw2["ladder"] = tuple(int(x) for x in parts[2].split("-"))
+                label += f" ladder={kw2['ladder']}"
             hf, sf = make_hit(kw2)
-            results[(w0, we)] = time_passes(hf, sf, f"W0={w0} We={we}")
+            results[combo] = time_passes(hf, sf, label)
         best = min(results, key=results.get)
-        print(f"best: W0={best[0]} We={best[1]} "
-              f"total {results[best]*1e3:.1f}ms")
+        print(f"best: {best} total {results[best]*1e3:.1f}ms")
         return 0
 
     time_passes(hit, hit_stats)

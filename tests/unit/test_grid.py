@@ -286,3 +286,26 @@ def test_grid_wide_pair_blocks_match_brute():
     np.testing.assert_allclose(t_g[hit], t_b[hit], rtol=4e-3, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(m_g)[hit],
                                   np.asarray(m_b)[hit])
+
+
+def test_grid_occupied_windows_and_ladder_never_change_results(mesh_scene):
+    """Occupied-cell windowing (round 5) and the ladder-capacity knob
+    are pure performance toggles: phases cover the next W OCCUPIED
+    cells (empty cells hold no triangles, so skipping them cannot drop
+    a hit) and era capacity only changes how many rays each era
+    continues. Both settings must reproduce the default walk
+    bit-for-bit. The auto-gate keys on the static clusters/cell ratio,
+    so force BOTH settings explicitly here."""
+    g = mesh_scene.geometry
+    o, d = _random_rays(1024, seed=13)
+    t_0, n_0, m_0 = closest_hit_grid(g, o, d, interpret=True,
+                                     occupied_windows=False)
+    t_1, n_1, m_1 = closest_hit_grid(g, o, d, interpret=True,
+                                     occupied_windows=True)
+    t_2, n_2, m_2 = closest_hit_grid(g, o, d, interpret=True,
+                                     occupied_windows=True,
+                                     ladder=(2, 8), first_steps=2)
+    for t_x, n_x, m_x in ((t_1, n_1, m_1), (t_2, n_2, m_2)):
+        np.testing.assert_array_equal(np.asarray(t_0), np.asarray(t_x))
+        np.testing.assert_array_equal(np.asarray(m_0), np.asarray(m_x))
+        np.testing.assert_array_equal(np.asarray(n_0), np.asarray(n_x))
