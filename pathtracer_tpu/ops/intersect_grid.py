@@ -110,7 +110,7 @@ _PAIR_BLOCK_LADDER: tuple[int, ...] = (1024,)
 # Visits per while-iteration of the pair kernel and DMA pipeline depth
 # (2*group): grouping divides the serial per-iteration scalar/branch
 # cost (the dense kernel's VISIT_GROUP lesson, PROFILE.md r4).
-_PAIR_GROUP = 4
+_PAIR_GROUP = 2
 _PAIR_SLOTS = 2 * _PAIR_GROUP
 # Conservative margin on entry-distance keys: computed cell entries can
 # exceed the true entry by fp rounding; shrinking them can only ADD
@@ -882,6 +882,14 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
     # recompute is a few-ms fused scan with bitwise-identical per-ray
     # results (dda_cells is elementwise in (o, d, t_max)).
     n_phases_e = -(-S // We)
+    # Era ray-state rides ONE aligned (R, 8) row gather: o_p[sel] /
+    # d_p[sel] are (R, 3) gathers whose 12-byte minor dim is exactly
+    # the badly-shaped class measured at ~15ns/element (PROFILE.md r3
+    # toolchain findings); 8-f32 rows gather 20-40x faster per element.
+    ray_rows = jnp.concatenate([
+        o_p, d_p, t_cap_p[:, None],
+        jnp.zeros((R, 1), jnp.float32),
+    ], axis=1)  # (R, 8)
 
     def _ladder_size(target):
         Rx = max(2048, -(-target // 2048) * 2048)
@@ -916,9 +924,10 @@ def closest_hit_grid(geom, o, d, interpret: bool | None = None,
             sel = jnp.argsort(done, stable=True)[:Rx]
             done_s = done[sel]
             ptr_s = ptr[sel]
-            o_s = o_p[sel]
-            d_s = d_p[sel]
-            tm_s = t_cap_p[sel]
+            rows_s = ray_rows[sel]  # one aligned row gather (see above)
+            o_s = rows_s[:, 0:3]
+            d_s = rows_s[:, 3:6]
+            tm_s = rows_s[:, 6]
             # Arithmetic window select over the recomputed DDA: with
             # occupancy, each (ray, w) column matches the (ptr+w)-th
             # OCCUPIED step (or none — exhausted / all-empty tail);
