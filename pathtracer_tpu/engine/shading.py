@@ -62,21 +62,33 @@ def schlick(cos_x, ior):
     return r0 + (1.0 - r0) * (1.0 - jnp.clip(cos_x, 0.0, 1.0)) ** 5
 
 
-def sample_light(lights, geom, u_sel, u1, u2):
+def sample_light(lights, geom, u_sel, u1, u2, emission=None):
     """Uniform-by-area point on emissive triangles (oracle _sample_light).
 
-    Returns (x_l, n_l, mat_l). Caller must only use this when the scene
-    has a non-empty light table (static shape check at trace time).
+    Returns (x_l, n_l, mat_l) — or (x_l, n_l, mat_l, emis_l) when the
+    differentiable `emission` table (M, 3) is passed: the sampled
+    light's emission then rides the SAME pre-joined row gather (the
+    rows' pad columns), replacing the engine's separate (N, 16)
+    material-row gather per NEE stage (~6.5ms/band on the 1M-ray
+    cornell band, fusion.22 in band_profile r5). Bit-identical values:
+    emission passes through concat -> two row gathers -> slice, all
+    movement-only; grads flow through the concat (transpose = slice).
+    Caller must only use this when the scene has a non-empty light
+    table (static shape check at trace time).
     """
     su = jnp.sqrt(u1)
-    rows = gather_light_rows(light_rows(lights, geom), lights.cdf, u_sel)
+    rows = gather_light_rows(light_rows(lights, geom, emission),
+                             lights.cdf, u_sel)
     x_l = rows[:, 0:3] + (1.0 - su)[:, None] * rows[:, 3:6] \
         + (u2 * su)[:, None] * rows[:, 6:9]
-    return x_l, rows[:, 9:12], rows[:, 12].astype(jnp.int32)
+    mat_l = rows[:, 12].astype(jnp.int32)
+    if emission is None:
+        return x_l, rows[:, 9:12], mat_l
+    return x_l, rows[:, 9:12], mat_l, rows[:, 13:16]
 
 
-def light_rows(lights, geom):
-    """(L, 16) pre-joined light-triangle rows [v0, e1, e2, n, mat, pad].
+def light_rows(lights, geom, emission=None):
+    """(L, 16) pre-joined light rows [v0, e1, e2, n, mat, emis|pad].
 
     The r4 winner-decode lesson applied to NEE: gathering v0/e1/e2/n/mat
     as five narrow per-array gathers measured ~7.5ms per bounce on the
@@ -88,11 +100,14 @@ def light_rows(lights, geom):
     """
     lt = lights.tri_idx
     L = lt.shape[0]
+    mat_l = geom.tri_mat[lt]
+    tail = (jnp.zeros((L, 3), jnp.float32) if emission is None
+            else emission[mat_l])
     return jnp.concatenate([
         geom.tri_v0[lt], geom.tri_e1[lt], geom.tri_e2[lt],
         geom.tri_n[lt],
-        geom.tri_mat[lt].astype(jnp.float32)[:, None],
-        jnp.zeros((L, 3), jnp.float32),
+        mat_l.astype(jnp.float32)[:, None],
+        tail,
     ], axis=1)
 
 

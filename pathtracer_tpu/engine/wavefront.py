@@ -192,23 +192,30 @@ _CANON_DIR = (0.0, 0.0, 1.0)
 def _coherence_key(o, d, alive, scene_lo, scene_hi):
     """Sort key for stream compaction + ray coherence (SURVEY.md §7.1).
 
-    Dead rays sort to the tail; live rays group by direction octant then a
-    6-bit position morton cell, so the fixed-size traversal chunks see
-    spatially/directionally coherent packets (shorter batched while-loops,
-    better locality) — the TPU answer to wavefront compaction
-    (BASELINE.json:5 "megakernel bounce loop → wavefront compaction").
+    Dead rays sort to the tail; live rays group by a 64-bin DIRECTION
+    morton (2 bits/axis of d) then a 4096-cell position morton (4
+    bits/axis of o), so the fixed-size traversal chunks see
+    directionally AND spatially coherent packets — the TPU answer to
+    wavefront compaction (BASELINE.json:5 "megakernel bounce loop →
+    wavefront compaction").
+
+    Direction granularity is the round-5 lever: the per-ray cluster
+    cull takes each block's candidate list to the exact union of its
+    rays' line needs, and that union is only as tight as this sort's
+    cones. With the old 8-octant key (90-degree cones) the bounce pass
+    still walked 22.8 clusters/block (roofline r5); the 64-bin
+    direction morton took the cornell bench 17.49 -> 19.20M rays/s on
+    adjacent runs. Finer still loses: 512 direction bins (3 bits/axis)
+    measured 17.0M (position locality collapses), and a finer 5-bit
+    position morton alongside the 64-bin direction was a wash (19.13M).
+    Any key choice is perf-only: compaction is pure data movement and
+    the final unscramble restores caller order bit-exactly.
     """
-    oct_bits = (
-        (d[:, 0] < 0).astype(jnp.int32)
-        | ((d[:, 1] < 0).astype(jnp.int32) << 1)
-        | ((d[:, 2] < 0).astype(jnp.int32) << 2)
-    )
     q = jnp.clip(
         (o - scene_lo[None, :]) / (scene_hi - scene_lo)[None, :], 0.0, 0.999
     )
-    # 4 bits per axis, bit-interleaved (true morton): 512-ray blocks of a
-    # ~1M-ray buffer then come from ~1/32768 of (octant x cell) space.
-    # The round-1 2-bit cell was far too coarse for many-object scenes —
+    # Position: 4 bits per axis, bit-interleaved (true morton). The
+    # round-1 2-bit cell was far too coarse for many-object scenes —
     # the cluster cull's per-block intervals are only as tight as this
     # sort makes them (PROFILE.md).
     cell = (q * 16.0).astype(jnp.int32)  # (N, 3), 4 bits per axis
@@ -218,7 +225,15 @@ def _coherence_key(o, d, alive, scene_lo, scene_hi):
             morton = morton | (
                 ((cell[:, ax] >> b) & 1) << (3 * b + ax)
             )
-    key = (oct_bits << 12) | morton
+    # Direction: 2 bits per axis of d in [-1, 1], bit-interleaved —
+    # 64 bins ~ 28-degree cones (direction-major: within one bin the
+    # position morton still orders ~16k rays of a 1M-ray buffer).
+    dq = jnp.clip(((d + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    dmort = jnp.zeros_like(dq[:, 0])
+    for b in range(2):
+        for ax in range(3):
+            dmort = dmort | (((dq[:, ax] >> b) & 1) << (3 * b + ax))
+    key = (dmort << 12) | morton
     return jnp.where(alive, key, jnp.int32(1 << 30))
 
 
@@ -363,9 +378,10 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
 
         # --- Next-event estimation (one shadow ray per path vertex) ----
         if n_lights > 0:
-            x_l, n_l, mat_l = sample_light(
+            x_l, n_l, _, emis_l = sample_light(
                 lights, geometry, U[:, rng_mod.LIGHT_SEL],
                 U[:, rng_mod.LIGHT_U1], U[:, rng_mod.LIGHT_U2],
+                emission=emission,
             )
             o_sh = p + n_shade * C.RAY_OFFSET
             dvec = x_l - o_sh
@@ -401,10 +417,13 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
                     p_l * p_l + p_b * p_b, 1e-20
                 )
                 geo_term = geo_term * w_nee
+            # emis_l rides sample_light's pre-joined row gather — no
+            # separate (N, 16) mat_rows gather per NEE stage (~6.5ms/
+            # band, band_profile r5 fusion.22).
             contrib = (
                 throughput
                 * (alb_m / jnp.pi)
-                * mat_rows[mat_l][:, 3:6]
+                * emis_l
                 * jax.lax.stop_gradient(geo_term)[:, None]
             )
             radiance = radiance + jnp.where(
