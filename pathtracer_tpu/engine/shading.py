@@ -111,9 +111,30 @@ def light_rows(lights, geom, emission=None):
     ], axis=1)
 
 
+def take_small_rows(rows, idx):
+    """rows[idx] for SMALL differentiable row tables, scatter-free.
+
+    The backward of a row gather is a scatter-add of N cotangent rows
+    into L destinations; at L=2 (the light table) that serialized to
+    ~78ms per 1M-ray band on the v5e (band_profile r5 --grad,
+    fusion.39). The compare-select sum below is forward-bit-identical
+    (exactly one term per output row is nonzero, and selects preserve
+    bits) and its transpose is L masked dense REDUCTIONS — no scatter.
+    Falls back to the plain gather for larger tables, where the L-term
+    select chain would cost more than the scatter it avoids.
+    """
+    L = rows.shape[0]
+    if L > 32:
+        return rows[idx]
+    acc = jnp.zeros((idx.shape[0], rows.shape[1]), rows.dtype)
+    for m in range(L):
+        acc = acc + jnp.where((idx == m)[:, None], rows[m][None, :], 0.0)
+    return acc
+
+
 def gather_light_rows(rows, cdf, u_sel):
-    """(N, 16) sampled light rows: CDF inversion + one row gather."""
+    """(N, 16) sampled light rows: CDF inversion + one row lookup."""
     idx = jnp.minimum(
         jnp.searchsorted(cdf, u_sel, side="right"), cdf.shape[0] - 1
     )
-    return rows[idx]
+    return take_small_rows(rows, idx)

@@ -53,6 +53,7 @@ from .shading import (
     refract_dir,
     sample_light,
     schlick,
+    take_small_rows,
 )
 
 
@@ -330,8 +331,11 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
         t = jax.lax.stop_gradient(t)
         n_geom = jax.lax.stop_gradient(n_geom)
         hit = t < C.T_FAR
-        # One material-row gather serves albedo/emission/type/ior below.
-        mrow = mat_rows[mat]
+        # One material-row lookup serves albedo/emission/type/ior below
+        # (scatter-free transpose for the tiny table — the row-gather
+        # backward scatter-add was a top grad-band fusion, see
+        # shading.take_small_rows).
+        mrow = take_small_rows(mat_rows, mat)
         alb_m = mrow[:, 0:3]
         emis_m = mrow[:, 3:6]
 
