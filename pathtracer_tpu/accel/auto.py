@@ -10,13 +10,13 @@ default) now get grid tables — and engine/wavefront.py:_intersector
 routes them to the grid kernel — instead of silently landing on the
 known-slow path (VERDICT r3 items 4/5).
 
-Measured crossover (TPU v5e; r4 rows of bench_metrics.jsonl /
+Measured crossover (TPU v5e; r5 rows of bench_metrics.jsonl /
 BASELINE.md — the per-round source of truth for current numbers):
 
   | scene        | tris | cluster | stream | grid   |
   |--------------|------|---------|--------|--------|
-  | cornell_mesh | ~5k  | 8.97M   |   —    | ~1.4M  |
-  | big_mesh     | 2M   | (VMEM)  | 21.2k  | 1.04M  |
+  | cornell_mesh | ~5k  | 20.3M   |   —    | ~1.4M  |
+  | big_mesh     | 2M   | (VMEM)  | 21.2k  | 1.06M  |
 
 The dense cluster kernel wins whenever its table fits VMEM (~<=213
 clusters / ~27k triangles with the 48-row stacked-bf16 table at 96

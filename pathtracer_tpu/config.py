@@ -106,7 +106,7 @@ PRESETS: dict[str, RenderConfig] = {
     ),
     # 5. Multi-host: 2M-triangle scene, tiles+rays sharded, grads allreduced.
     # backend="grid" is the per-ray DDA path (ops/intersect_grid.py):
-    # ~1.04M rays/s/chip on the v5e at round 4 vs 21.2k for the
+    # ~1.06M rays/s/chip on the v5e at round 5 vs 21.2k for the
     # HBM-streaming kernel — ~50x (BASELINE.md / bench_metrics.jsonl;
     # numbers move every round, BASELINE.md is the source of truth).
     "config5": RenderConfig(
