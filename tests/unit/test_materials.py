@@ -99,3 +99,40 @@ def test_mirror_image_of_light_present():
     # ceiling light (radiance ~13) must reflect somewhere in it: some
     # pixel well above any diffuse wall radiance.
     assert img.max() > 5.0
+
+
+def test_take_small_rows_matches_gather_and_grads():
+    """take_small_rows (the scatter-free small-table lookup, r5) must be
+    forward-bit-identical to rows[idx] and produce the same gradients —
+    its transpose is masked dense reductions instead of the scatter-add
+    that serialized the grad band (PROFILE.md r5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = jnp.asarray(rng.normal(size=(5, 16)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 5, size=333).astype(np.int32))
+
+    out = shading.take_small_rows(rows, idx)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(rows[idx]))
+
+    cot = jnp.asarray(rng.normal(size=(333, 16)).astype(np.float32))
+
+    def f_sel(r):
+        return jnp.sum(shading.take_small_rows(r, idx) * cot)
+
+    def f_gat(r):
+        return jnp.sum(r[idx] * cot)
+
+    g_sel = np.asarray(jax.grad(f_sel)(rows))
+    g_gat = np.asarray(jax.grad(f_gat)(rows))
+    np.testing.assert_allclose(g_sel, g_gat, rtol=1e-6, atol=1e-6)
+
+    # Large tables fall back to the plain gather (identical results).
+    big = jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32))
+    bidx = jnp.asarray(rng.integers(0, 64, size=100).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(shading.take_small_rows(big, bidx)),
+        np.asarray(big[bidx]))
