@@ -63,7 +63,15 @@ def schlick(cos_x, ior):
 
 
 def sample_light(lights, geom, u_sel, u1, u2, emission=None):
-    """Uniform-by-area point on emissive triangles (oracle _sample_light).
+    """Uniform-by-area point on emissive surfaces (oracle _sample_light).
+
+    Triangles use the standard sqrt-barycentric warp; sphere lights
+    (round 5) use uniform-on-the-sphere surface sampling (z = 1-2*u1,
+    phi = 2*pi*u2) with the sampled normal as the light normal. Both
+    decode from the same pre-joined row table; the sphere branch is
+    SKIPPED STATICALLY when the scene has no sphere lights
+    (lights.sph_idx.shape[0] == 0), so triangle-only scenes trace the
+    exact pre-sphere program.
 
     Returns (x_l, n_l, mat_l) — or (x_l, n_l, mat_l, emis_l) when the
     differentiable `emission` table (M, 3) is passed: the sampled
@@ -81,34 +89,66 @@ def sample_light(lights, geom, u_sel, u1, u2, emission=None):
                              lights.cdf, u_sel)
     x_l = rows[:, 0:3] + (1.0 - su)[:, None] * rows[:, 3:6] \
         + (u2 * su)[:, None] * rows[:, 6:9]
-    mat_l = rows[:, 12].astype(jnp.int32)
+    n_l = rows[:, 9:12]
+    mat_f = rows[:, 12]
+    if int(lights.sph_idx.shape[0]) > 0:
+        # Sphere rows carry mat encoded as -(mat+1) (see light_rows).
+        is_sph = mat_f < 0.0
+        z = 1.0 - 2.0 * u1
+        phi = 2.0 * jnp.pi * u2
+        s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+        n_sph = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=1)
+        x_sph = rows[:, 0:3] + rows[:, 3:4] * n_sph
+        x_l = jnp.where(is_sph[:, None], x_sph, x_l)
+        n_l = jnp.where(is_sph[:, None], n_sph, n_l)
+        mat_f = jnp.where(is_sph, -mat_f - 1.0, mat_f)
+    mat_l = mat_f.astype(jnp.int32)
     if emission is None:
-        return x_l, rows[:, 9:12], mat_l
-    return x_l, rows[:, 9:12], mat_l, rows[:, 13:16]
+        return x_l, n_l, mat_l
+    return x_l, n_l, mat_l, rows[:, 13:16]
 
 
 def light_rows(lights, geom, emission=None):
-    """(L, 16) pre-joined light rows [v0, e1, e2, n, mat, emis|pad].
+    """(L, 16) pre-joined light rows, triangle lights then sphere lights.
+
+    Triangle rows: [v0, e1, e2, n, mat, emis|pad]. Sphere rows:
+    [center, (r,0,0), 0(3), 0(3), -(mat+1), emis|pad] — the negated
+    material id is the type flag sample_light branches on (exact: ids
+    are < 2^24, accel/clusters.py:slot_nm_table guard). Row order must
+    match the make_lights cdf (triangles first).
 
     The r4 winner-decode lesson applied to NEE: gathering v0/e1/e2/n/mat
     as five narrow per-array gathers measured ~7.5ms per bounce on the
     1M-ray cornell band (fusion.36/.23/.10/.49, band_profile r5) where
     ONE well-shaped 16-f32 row gather is ~20x cheaper. The join itself
     is (L,)-sized, traced once per program and CSE'd across bounces.
-    The material id round-trips through f32 — exact below 2^24
-    (guarded at scene build, accel/clusters.py:slot_nm_table).
     """
     lt = lights.tri_idx
     L = lt.shape[0]
     mat_l = geom.tri_mat[lt]
     tail = (jnp.zeros((L, 3), jnp.float32) if emission is None
             else emission[mat_l])
-    return jnp.concatenate([
+    tri_rows = jnp.concatenate([
         geom.tri_v0[lt], geom.tri_e1[lt], geom.tri_e2[lt],
         geom.tri_n[lt],
         mat_l.astype(jnp.float32)[:, None],
         tail,
     ], axis=1)
+    Ls = int(lights.sph_idx.shape[0])
+    if Ls == 0:
+        return tri_rows
+    si = lights.sph_idx
+    smat = geom.sph_mat[si]
+    stail = (jnp.zeros((Ls, 3), jnp.float32) if emission is None
+             else emission[smat])
+    sph_rows = jnp.concatenate([
+        geom.sph_c[si],
+        geom.sph_r[si][:, None],
+        jnp.zeros((Ls, 8), jnp.float32),
+        (-(smat.astype(jnp.float32) + 1.0))[:, None],
+        stail,
+    ], axis=1)
+    return jnp.concatenate([tri_rows, sph_rows], axis=0)
 
 
 def take_small_rows(rows, idx):

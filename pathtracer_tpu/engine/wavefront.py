@@ -276,7 +276,7 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
         jnp.zeros((M, 8), jnp.float32),
     ], axis=1)
     bg = lights.background
-    n_lights = lights.tri_idx.shape[0]
+    n_lights = lights.tri_idx.shape[0] + lights.sph_idx.shape[0]
     N = pixel_ids.shape[0]
 
     jitter = rng_mod.pixel_jitter(cfg.seed, spp_idx, pixel_ids)

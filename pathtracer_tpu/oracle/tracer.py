@@ -43,9 +43,10 @@ Estimator (shared contract, see also engine/wavefront.py):
     transport term, so the estimator stays unbiased; the last path vertex
     keeps full NEE weight because its BSDF-hit counterpart is truncated
     by max_depth. Delta (SPEC/REFR) chains keep weight 1 — NEE cannot
-    sample through them. Limitation: emissive *spheres* are not in the
-    NEE light table, so MIS weighting assumes triangle lights (true for
-    every builtin scene).
+    sample through them. Emissive *spheres* are in the NEE light table
+    too (round 5, uniform-by-area over 4*pi*r^2): both the NEE pdf and
+    the BSDF-hit MIS counterweight use the same 1/A_total area measure,
+    so the weighting is exact for either light type.
 """
 
 from __future__ import annotations
@@ -216,25 +217,53 @@ def cosine_hemisphere(n, u1, u2):
 
 
 def _sample_light(lights, geom, u_sel, u1, u2):
-    """Uniform-by-area point on the emissive triangles.
+    """Uniform-by-area point on the emissive surfaces (tris + spheres).
 
     Returns (x_l, n_l, mat_l): sampled point, light normal, material id.
+    Mirrors engine/shading.py:sample_light: cdf entries are triangle
+    lights first, then sphere lights; triangles use the sqrt-barycentric
+    warp, spheres uniform-on-the-sphere (z = 1-2*u1, phi = 2*pi*u2) with
+    the sampled normal as n_l.
     """
     cdf = np.asarray(lights.cdf)
     idx = np.minimum(
         np.searchsorted(cdf, u_sel, side="right"), len(cdf) - 1
     )
-    tri = np.asarray(lights.tri_idx)[idx]
-    v0 = np.asarray(geom.tri_v0)[tri]
-    e1 = np.asarray(geom.tri_e1)[tri]
-    e2 = np.asarray(geom.tri_e2)[tri]
-    su = np.sqrt(u1)
-    b1 = 1.0 - su
-    b2 = u2 * su
-    x_l = v0 + b1[:, None] * e1 + b2[:, None] * e2
-    n_l = np.asarray(geom.tri_n)[tri]
-    mat_l = np.asarray(geom.tri_mat)[tri]
-    return x_l.astype(np.float32), n_l, mat_l
+    Lt = int(np.asarray(lights.tri_idx).shape[0])
+    tri = np.asarray(lights.tri_idx)[np.minimum(idx, max(Lt - 1, 0))] \
+        if Lt else np.zeros_like(idx)
+    if Lt:
+        v0 = np.asarray(geom.tri_v0)[tri]
+        e1 = np.asarray(geom.tri_e1)[tri]
+        e2 = np.asarray(geom.tri_e2)[tri]
+        su = np.sqrt(u1)
+        b1 = 1.0 - su
+        b2 = u2 * su
+        x_l = v0 + b1[:, None] * e1 + b2[:, None] * e2
+        n_l = np.asarray(geom.tri_n)[tri].copy()
+        mat_l = np.asarray(geom.tri_mat)[tri].copy()
+    else:
+        x_l = np.zeros((len(idx), 3), np.float32)
+        n_l = np.zeros((len(idx), 3), np.float32)
+        mat_l = np.zeros((len(idx),), np.int32)
+    is_sph = idx >= Lt
+    if is_sph.any():
+        si = np.asarray(lights.sph_idx)[
+            np.minimum(np.maximum(idx - Lt, 0),
+                       len(np.asarray(lights.sph_idx)) - 1)]
+        c = np.asarray(geom.sph_c)[si]
+        r = np.asarray(geom.sph_r)[si]
+        z = 1.0 - 2.0 * u1
+        phi = 2.0 * np.pi * u2
+        s = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+        n_sph = np.stack(
+            [s * np.cos(phi), s * np.sin(phi), z], axis=1
+        ).astype(np.float32)
+        x_sph = c + r[:, None] * n_sph
+        x_l = np.where(is_sph[:, None], x_sph, x_l)
+        n_l = np.where(is_sph[:, None], n_sph, n_l)
+        mat_l = np.where(is_sph, np.asarray(geom.sph_mat)[si], mat_l)
+    return x_l.astype(np.float32), n_l.astype(np.float32), mat_l
 
 
 def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
@@ -244,7 +273,8 @@ def render_sample(scene: Scene, cfg: RenderConfig, spp_idx: int) -> np.ndarray:
     albedo = np.asarray(scene.materials.albedo)
     emission = np.asarray(scene.materials.emission)
     bg = np.asarray(scene.lights.background, np.float32)
-    n_lights = int(np.asarray(scene.lights.tri_idx).shape[0])
+    n_lights = int(np.asarray(scene.lights.tri_idx).shape[0]) + int(
+        np.asarray(scene.lights.sph_idx).shape[0])
 
     pixel_ids = np.arange(N, dtype=np.uint32)
     jitter = _np_uniforms(rng_mod.pixel_jitter, cfg.seed, spp_idx, pixel_ids)

@@ -111,6 +111,34 @@ def cornell_spheres(background=(0.0, 0.0, 0.0)) -> Scene:
     )
 
 
+def cornell_sphlight(background=(0.0, 0.0, 0.0)) -> Scene:
+    """Cornell box with BOTH light types: the quad area light plus an
+    emissive SPHERE (smallpt-style — the reference's lineage lights its
+    Cornell with a sphere). Exercises the round-5 sphere-NEE path: the
+    light cdf mixes triangle and sphere entries, sample_light's sphere
+    branch is live, and diffuse-reached emissive-sphere hits are
+    balanced against NEE by the same area-measure MIS weights.
+    """
+    tris, mats = _cornell_walls()
+    geom = make_geometry(
+        tris,
+        mats,
+        sph_c=np.array([[0.35, 0.2, 0.5], [0.75, 0.75, 0.55]], np.float32),
+        sph_r=np.array([0.2, 0.08], np.float32),
+        sph_mat=np.array([SPHERE_A, SPHERE_B], np.int32),
+    )
+    materials = default_materials()
+    emission = np.asarray(materials.emission).copy()
+    emission[SPHERE_B] = [10.0, 9.0, 8.0]
+    materials = Materials(albedo=materials.albedo, emission=emission)
+    return Scene(
+        geometry=geom,
+        materials=materials,
+        camera=default_camera(),
+        lights=make_lights(geom, materials, background),
+    )
+
+
 def cornell_specular(background=(0.0, 0.0, 0.0)) -> Scene:
     """Cornell box with a mirror sphere and a glass sphere.
 
@@ -363,6 +391,7 @@ _BUILDERS = {
     "cornell_spheres": cornell_spheres,
     "cornell_specular": cornell_specular,
     "cornell_biglight": cornell_biglight,
+    "cornell_sphlight": cornell_sphlight,
     "cornell_mesh": cornell_mesh,
     "big_mesh": big_mesh,
 }

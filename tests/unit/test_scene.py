@@ -68,40 +68,47 @@ def test_procedural_bunny_deterministic():
     assert len(a) == 320  # 20 * 4^2
 
 
-def test_emissive_sphere_warns():
-    """An emissive material reachable only via a SPHERE silently loses
-    energy under NEE (never sampled, and diffuse-reached hits are
-    skipped by the spec_chain rule) — make_lights must warn
-    (VERDICT r4 weak 3)."""
-    import pytest
-
+def test_emissive_sphere_lights():
+    """Emissive SPHERES are NEE lights (round 5 — previously they lost
+    energy silently, VERDICT r4 weak 3): make_lights must put them in
+    the table with area 4*pi*r^2, triangles first in the cdf."""
     from pathtracer_tpu.scene.model import (
         Materials,
         make_geometry,
         make_lights,
+        triangle_areas,
     )
 
     tri = np.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
     geom = make_geometry(
-        tri, np.array([0], np.int32),
-        sph_c=np.array([[0.0, 0.0, 2.0]], np.float32),
-        sph_r=np.array([0.5], np.float32),
-        sph_mat=np.array([1], np.int32),
+        tri, np.array([2], np.int32),
+        sph_c=np.array([[0.0, 0.0, 2.0], [1.0, 1.0, 1.0]], np.float32),
+        sph_r=np.array([0.5, 0.1], np.float32),
+        sph_mat=np.array([1, 0], np.int32),
     )
     mats = Materials(
-        albedo=np.array([[0.5, 0.5, 0.5], [0.0, 0.0, 0.0]], np.float32),
-        emission=np.array([[0, 0, 0], [5.0, 5.0, 5.0]], np.float32),
+        albedo=np.zeros((3, 3), np.float32),
+        emission=np.array(
+            [[0, 0, 0], [5.0, 5.0, 5.0], [3.0, 3.0, 3.0]], np.float32),
     )
-    with pytest.warns(UserWarning, match="SPHERES"):
-        make_lights(geom, mats)
+    lights = make_lights(geom, mats)
+    np.testing.assert_array_equal(np.asarray(lights.tri_idx), [0])
+    np.testing.assert_array_equal(np.asarray(lights.sph_idx), [0])
+    t_area = float(triangle_areas(geom)[0])
+    s_area = 4.0 * np.pi * 0.5 ** 2
+    assert abs(float(lights.total_area) - (t_area + s_area)) < 1e-4
+    cdf = np.asarray(lights.cdf)
+    assert cdf.shape == (2,)
+    assert abs(cdf[0] - t_area / (t_area + s_area)) < 1e-6
+    assert cdf[-1] == 1.0
 
-    # Triangle-only emission stays silent.
-    mats_ok = Materials(
-        albedo=np.array([[0.5, 0.5, 0.5], [0.0, 0.0, 0.0]], np.float32),
-        emission=np.array([[4.0, 4.0, 4.0], [0.0, 0.0, 0.0]], np.float32),
+    # Sphere-only lights work too (no triangle lights at all).
+    mats_sph = Materials(
+        albedo=np.zeros((3, 3), np.float32),
+        emission=np.array(
+            [[0, 0, 0], [5.0, 5.0, 5.0], [0, 0, 0]], np.float32),
     )
-    import warnings
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")
-        make_lights(geom, mats_ok)
+    l2 = make_lights(geom, mats_sph)
+    assert np.asarray(l2.tri_idx).shape == (0,)
+    np.testing.assert_array_equal(np.asarray(l2.sph_idx), [0])
+    assert abs(float(l2.total_area) - s_area) < 1e-4
