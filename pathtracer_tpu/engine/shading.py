@@ -8,7 +8,9 @@ the fusion the reference gets for free inside its megakernel
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def onb(n):
@@ -154,22 +156,40 @@ def light_rows(lights, geom, emission=None):
 def take_small_rows(rows, idx):
     """rows[idx] for SMALL differentiable row tables, scatter-free.
 
-    The backward of a row gather is a scatter-add of N cotangent rows
-    into L destinations; at L=2 (the light table) that serialized to
-    ~78ms per 1M-ray band on the v5e (band_profile r5 --grad,
-    fusion.39). The compare-select sum below is forward-bit-identical
-    (exactly one term per output row is nonzero, and selects preserve
-    bits) and its transpose is L masked dense REDUCTIONS — no scatter.
-    Falls back to the plain gather for larger tables, where the L-term
-    select chain would cost more than the scatter it avoids.
+    The backward of a plain row gather is a scatter-add of N cotangent
+    rows into L destinations; at L=2 (the light table) that serialized
+    to ~78ms per 1M-ray band on the v5e (band_profile r5 --grad,
+    fusion.39). This custom_vjp keeps the CHEAP gather as the primal
+    (a first cut ran a compare-select sum in the forward too — it is
+    bit-identical but cost ~6.5ms/band where the gather is ~2ms) and
+    transposes via L masked dense REDUCTIONS — no scatter. Falls back
+    to the plain gather (default AD) for larger tables, where the
+    L-term reduction chain would cost more than the scatter it avoids.
     """
-    L = rows.shape[0]
-    if L > 32:
+    if rows.shape[0] > 32:
         return rows[idx]
-    acc = jnp.zeros((idx.shape[0], rows.shape[1]), rows.dtype)
-    for m in range(L):
-        acc = acc + jnp.where((idx == m)[:, None], rows[m][None, :], 0.0)
-    return acc
+    return _take_small_rows(rows, idx)
+
+
+@jax.custom_vjp
+def _take_small_rows(rows, idx):
+    return rows[idx]
+
+
+def _take_small_fwd(rows, idx):
+    return rows[idx], (idx, rows.shape[0])
+
+
+def _take_small_bwd(res, g):
+    idx, L = res
+    d_rows = jnp.stack([
+        jnp.sum(jnp.where((idx == m)[:, None], g, 0.0), axis=0)
+        for m in range(L)
+    ])
+    return d_rows, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_take_small_rows.defvjp(_take_small_fwd, _take_small_bwd)
 
 
 def gather_light_rows(rows, cdf, u_sel):
