@@ -253,8 +253,15 @@ def main() -> int:
             store["legacy_r1"] = old
     vs_baseline = None
     base = store["tasks"].get(task)
-    if base is not None and store.get("methodology") == methodology \
-            and base.get("value"):
+    # The methodology stamp is PER TASK (falling back to the store-level
+    # stamp for entries recorded before this change): a store-global
+    # stamp re-written by --record-baseline would retroactively
+    # "re-validate" other tasks' old-methodology entries (code-review
+    # r5) — the exact silent-wrong-ratio class the stamp exists to
+    # refuse.
+    if base is not None and base.get("value") \
+            and (base.get("methodology", store.get("methodology"))
+                 == methodology):
         vs_baseline = round(rays_per_s / float(base["value"]), 4)
     if args.record_baseline and not args.smoke \
             and not args.no_baseline_write:
@@ -262,6 +269,7 @@ def main() -> int:
         store["tasks"][task] = {
             "value": rays_per_s, "unit": "rays/s/chip",
             "device": str(dev), "cfg": cfg.to_json(),
+            "methodology": methodology,
         }
         with open(baseline_path, "w") as f:
             json.dump(store, f, indent=1)

@@ -182,8 +182,17 @@ def _take_small_fwd(rows, idx):
 
 def _take_small_bwd(res, g):
     idx, L = res
+    # Mirror plain `rows[idx]` AD exactly so the two take_small_rows
+    # paths (this custom_vjp and the >32-row fallback) produce
+    # identical gradients for ANY index: jax wraps negative indices in
+    # both directions, but its gather transpose DROPS cotangents of
+    # clamped out-of-range indices (scatter drop semantics — verified
+    # by probe: fwd clamps idx=L+2 to the last row, bwd contributes
+    # nothing). Wrapping without clipping reproduces that: wrapped
+    # indices match their row, out-of-range ones match nothing.
+    eff = jnp.where(idx < 0, idx + L, idx)
     d_rows = jnp.stack([
-        jnp.sum(jnp.where((idx == m)[:, None], g, 0.0), axis=0)
+        jnp.sum(jnp.where((eff == m)[:, None], g, 0.0), axis=0)
         for m in range(L)
     ])
     return d_rows, np.zeros(idx.shape, jax.dtypes.float0)

@@ -263,17 +263,32 @@ def trace_sample(geometry, materials, camera, lights, cfg: RenderConfig,
     mt_tab = jnp.asarray(geometry.mat_type, jnp.float32)
     ior_tab = jnp.asarray(geometry.mat_ior, jnp.float32)
     # The structural tables are sized by the ids geometry references;
-    # Materials may carry more (or fewer) rows — align to M with the
-    # make_geometry defaults (MAT_DIFF, ior 1.5). Static shapes only.
-    if mt_tab.shape[0] < M:
+    # Materials may carry more (or fewer) rows. The joined table spans
+    # the LARGER count: truncating mat_type/ior to M (the first r5 cut)
+    # silently demoted e.g. a MAT_SPEC id >= M to the clamped row's
+    # type, where the pre-join code read the full structural tables.
+    # Missing structural rows get the make_geometry defaults (MAT_DIFF,
+    # ior 1.5); missing Materials rows replicate the last row — exactly
+    # the clamp semantics albedo[mat] had before the join. Static
+    # shapes only.
+    n_rows = max(M, int(mt_tab.shape[0]), int(ior_tab.shape[0]))
+    if mt_tab.shape[0] < n_rows:
         mt_tab = jnp.concatenate([
-            mt_tab, jnp.zeros((M - mt_tab.shape[0],), jnp.float32)])
-    if ior_tab.shape[0] < M:
+            mt_tab, jnp.zeros((n_rows - mt_tab.shape[0],), jnp.float32)])
+    if ior_tab.shape[0] < n_rows:
         ior_tab = jnp.concatenate([
-            ior_tab, jnp.full((M - ior_tab.shape[0],), 1.5, jnp.float32)])
+            ior_tab,
+            jnp.full((n_rows - ior_tab.shape[0],), 1.5, jnp.float32)])
+    if M < n_rows:
+        albedo_t = jnp.concatenate([
+            albedo, jnp.tile(albedo[-1:], (n_rows - M, 1))])
+        emission_t = jnp.concatenate([
+            emission, jnp.tile(emission[-1:], (n_rows - M, 1))])
+    else:
+        albedo_t, emission_t = albedo, emission
     mat_rows = jnp.concatenate([
-        albedo, emission, mt_tab[:M, None], ior_tab[:M, None],
-        jnp.zeros((M, 8), jnp.float32),
+        albedo_t, emission_t, mt_tab[:, None], ior_tab[:, None],
+        jnp.zeros((n_rows, 8), jnp.float32),
     ], axis=1)
     bg = lights.background
     n_lights = lights.tri_idx.shape[0] + lights.sph_idx.shape[0]

@@ -109,7 +109,10 @@ _RAYF_MODE = "row"
 _PAIR_BLOCK_LADDER: tuple[int, ...] = (1024,)
 # Visits per while-iteration of the pair kernel and DMA pipeline depth
 # (2*group): grouping divides the serial per-iteration scalar/branch
-# cost (the dense kernel's VISIT_GROUP lesson, PROFILE.md r4).
+# cost (the dense kernel's VISIT_GROUP lesson, PROFILE.md r4). G=4 was
+# A/B'd on the full big_mesh bench and measured a WASH vs 2 (1.031 vs
+# 1.038M rays/s adjacent runs) while padding attempted visits ~9%
+# (short sparse-call lists round up to the group size), so 2 stays.
 _PAIR_GROUP = 2
 _PAIR_SLOTS = 2 * _PAIR_GROUP
 # Conservative margin on entry-distance keys: computed cell entries can
@@ -242,8 +245,12 @@ def dda_cells(o, d, t_max, grid_lo, cell, axis: int,
             is_occ = alive & (((word >> (m & 31)) & 1) == 1)
             oidx_out = jnp.where(is_occ, occ_cnt, -1)
             occ_cnt = occ_cnt + is_occ.astype(jnp.int32)
+            ys = (cell_out, entry_out, oidx_out)
         else:
-            oidx_out = jnp.zeros_like(m)
+            # No occupancy: do not even EMIT an oidx output — a dead
+            # (S, R) i32 stack would rely on scan DCE to stay free
+            # (code-review r5).
+            ys = (cell_out, entry_out)
         # Advance to the nearest axis boundary.
         t_step = jnp.min(t_next, -1)  # (R,)
         is_min = t_next <= t_step[:, None]
@@ -256,20 +263,17 @@ def dda_cells(o, d, t_max, grid_lo, cell, axis: int,
         t_next = t_next + dt * adv.astype(jnp.float32)
         out = ((c < 0) | (c >= axis)).any(-1)
         alive = alive & ~out & (t_step < tm)
-        return ((c, t_next, alive, t_step, occ_cnt),
-                (cell_out, entry_out, oidx_out))
+        return (c, t_next, alive, t_step, occ_cnt), ys
 
     # lax.scan, not a Python loop: S is up to 3*32 = 96 steps, and the
     # renderer traces 8 intersect calls per band — an unrolled DDA put
     # ~25k extra ops into the HLO graph and sent the server-side XLA
     # compile into the tens of minutes (observed on the axon tunnel).
     occ0 = jnp.zeros((o.shape[0],), jnp.int32)
-    _, (cells, entry, oidx) = jax.lax.scan(
+    _, outs = jax.lax.scan(
         step_fn, (c, t_next, alive, t_en, occ0), None, length=S
     )
-    if occ_words is not None:
-        return cells, entry, oidx  # (S, R) each
-    return cells, entry  # (S, R)
+    return outs  # (cells, entry[, oidx]), each (S, R)
 
 
 def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
@@ -317,8 +321,9 @@ def _pair_kernel(cand_ref, count_ref, rayf_ref, feat_hbm, t_ref, idx_ref,
 
     # G visits per iteration over a 2G-slot DMA pipeline: divides the
     # per-iteration scalar/branch overhead by G and keeps G cluster
-    # fetches in flight (the dense kernel's VISIT_GROUP win applied
-    # here; G=4 measured best on the v5e bounce pass, same as there).
+    # fetches in flight (the dense kernel's VISIT_GROUP idea; here G=4
+    # A/B'd a wash vs 2 on the full bench while padding visits ~9%, so
+    # G=2 ships — see _PAIR_GROUP).
     # The list is walked in full (no early exit), so every started DMA
     # is waited by its own visit; trailing visits past n_cand re-read
     # the last already-waited slot (never uninitialized VMEM, ADVICE

@@ -136,3 +136,20 @@ def test_take_small_rows_matches_gather_and_grads():
     np.testing.assert_array_equal(
         np.asarray(shading.take_small_rows(big, bidx)),
         np.asarray(big[bidx]))
+
+    # Edge indices (negative: the engine's miss-lane mat=-1; out of
+    # range): both paths must agree in FORWARD (jax wraps negatives,
+    # clamps OOB) and in GRADIENT (jax's gather transpose accumulates
+    # wrapped indices but DROPS clamped-OOB cotangents — the custom bwd
+    # mirrors that, code-review r5).
+    for pattern in ([0, 2, -1, 5], [-5, -3, 7, 1]):
+        eidx = jnp.asarray(np.array(pattern, np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(shading.take_small_rows(rows, eidx)),
+            np.asarray(rows[eidx]))
+        w = cot[: len(pattern)]
+        ge_sel = np.asarray(jax.grad(
+            lambda r: jnp.sum(shading.take_small_rows(r, eidx) * w))(rows))
+        ge_gat = np.asarray(jax.grad(
+            lambda r: jnp.sum(r[eidx] * w))(rows))
+        np.testing.assert_array_equal(ge_sel, ge_gat)
